@@ -1,0 +1,78 @@
+"""Vectorized Arrow extraction UDFs (BASELINE.json input_hint: "vectorized
+pandas/Arrow UDFs (no per-row Python) throughout").
+
+Two UDFs only — the whole Python surface of the hot path:
+
+- ``extract_text``: HTML bytes → text, byte-identical per url to the golden
+  ``pages.text`` column. Pure vectorized pandas ``.str`` ops (regex tag strip
+  + whitespace collapse), the same transformation ``core.extract_text_py``
+  defines.
+- ``extract_links``: HTML bytes → array<struct<href,is_dir,ts_str>> + a
+  parse_failed flag, using the byte-exact reference regex
+  (/root/reference/graven/worker/crawler.py:24-25) in ``re.finditer``
+  document order. A multi-group alternation regex returning a struct array
+  cannot be expressed with ``regexp_extract_all`` (SURVEY.md §2.2 P1), so
+  this one UDF carries the per-document ``finditer`` loop; batches move via
+  Arrow.
+
+Everything downstream of these (absolutize, dedup, joins, windows) is
+JVM-side Catalyst.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import extract_links_strict_py
+
+# Mirrors core.extract_text_py, expressed as vectorized pandas ops.
+_TAG_PATTERN = r"<[^>]*>"
+_WS_PATTERN = r"\s+"
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """HTML binary → extracted text (golden-byte-identical invariant)."""
+    return (
+        html.map(lambda b: b.decode("utf-8", errors="replace"), na_action="ignore")
+        .str.replace(_TAG_PATTERN, " ", regex=True)
+        .str.replace(_WS_PATTERN, " ", regex=True)
+        .str.strip()
+    )
+
+
+LINKS_TYPE = T.StructType(
+    [
+        T.StructField(
+            "links",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("href", T.StringType()),
+                        T.StructField("is_dir", T.BooleanType()),
+                        T.StructField("ts_str", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("parse_failed", T.BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(LINKS_TYPE)
+def extract_links(html: pd.Series) -> pd.DataFrame:
+    """HTML binary → (document-order link structs, parse_failed flag)."""
+
+    def one(b: bytes | None) -> tuple[list[tuple[str, bool, str | None]], bool]:
+        if b is None:
+            return [], False
+        links, failed = extract_links_strict_py(b)
+        return [(l.href, l.is_dir, l.ts_str) for l in links], failed
+
+    parsed = html.map(one)
+    return pd.DataFrame(
+        {"links": parsed.map(lambda t: t[0]), "parse_failed": parsed.map(lambda t: t[1])}
+    )
