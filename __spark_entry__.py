@@ -1,38 +1,586 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: a full recursive crawl (frontier rounds, Bloom
+                     dedup, politeness, Arrow extraction) over a
+                     deterministic synthetic site whose leaf-page bodies are
+                     drawn from /root/testdata/sf0.001 ``documents``.
+``queries()``      — one entry per implemented operator family from
+                     SURVEY.md §2 plus the training-data-pipeline operators
+                     (dedup / similarity / text analysis / multimodal).
+``oracle_sql()``   — DuckDB-equivalent SQL for every SQL-expressible query.
+
+Column names and value normalization are aligned pairwise: integer outputs
+cast to BIGINT on both sides, double outputs rounded, money summed as
+DECIMAL then cast to DOUBLE.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graven_spark.operators import simsearch, textops  # noqa: E402
+from graven_spark.operators.bloom import BloomSpec  # noqa: E402
+from graven_spark.plans import enrich  # noqa: E402
+from graven_spark.plans.driver import crawl  # noqa: E402
+from graven_spark.plans.frontier import CrawlConfig  # noqa: E402
+from graven_spark.sources import synth  # noqa: E402
+from graven_spark.sources.multimodal import extract_features, synth_media  # noqa: E402
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+_EN = textops._EN_STOPWORDS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _run_crawl(spark: SparkSession, graph: synth.SiteGraph, workdir: str):
+    pages_path = os.path.join(workdir, "pages.parquet")
+    graph.pages.to_parquet(pages_path, index=False)
+    seeds = spark.createDataFrame(graph.seeds)
+    robots = spark.createDataFrame(
+        graph.robots,
+        schema="host string, disallow_prefixes array<string>, crawl_delay_tokens int",
+    )
+    cfg = CrawlConfig(use_bloom=True, bloom=BloomSpec(n_buckets=8, bits_per_shard=1 << 16))
+    return crawl(spark, pages_path, seeds, robots, os.path.join(workdir, "state"), cfg)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl a synthetic web graph whose leaf documents are the
+    sf0.001 ``documents`` texts; return the extracted-results table."""
+    docs = (
+        _t(spark, "/root/testdata/sf0.001", "documents")
+        .orderBy("doc_id")
+        .limit(256)
+        .collect()
+    )
+    graph = synth.generate_graph(
+        synth.smoke_specs(), leaf_texts=[r.text for r in docs]
+    )
+    workdir = tempfile.mkdtemp(prefix="graven_entry_")
+    out = _run_crawl(spark, graph, workdir)
+    return out.results(spark).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
+# queries: crawl-engine operator inventory (SURVEY.md §2) over driver tables
+# ---------------------------------------------------------------------------
+
+def q_anti_join_unseen(spark, sf):  # J1/U3/P5: frontier ∖ seen as left_anti
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_semi_join_seen(spark, sf):  # P5/P6 positive form: left_semi membership
+    s, li = _t(spark, sf, "supplier"), _t(spark, sf, "lineitem")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+def q_fetch_join_broadcast(spark, sf):  # J2: big scan ⋈ broadcast small dim
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_union_dedup_seen(spark, sf):  # U1/U2/J7: seen MERGE = union + dedup
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        o.select(F.col("o_custkey").alias("key"))
+        .unionByName(c.select(F.col("c_custkey").alias("key")))
+        .distinct()
+    )
+
+
+def q_politeness_topk(spark, sf):  # W3/T4: per-host budget = top-k per group
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def q_claim_first(spark, sf):  # W4/T1: deterministic LIMIT-1 claim per key
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def q_global_topk(spark, sf):  # T3: global jar-limit = priority top-k
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q_lineage_rollup(spark, sf):  # A1-A3 + rollup
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_stage_counters(spark, sf):  # A2/A6: per-stage throughput counters
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_status_case(spark, sf):  # P11: domain-status CASE gate
+    o = _t(spark, sf, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "F", "COMPLETED")
+        .when(F.col("o_orderstatus") == "O", "IN_PROGRESS")
+        .otherwise("PENDING")
+    )
+    return (
+        o.select(status.alias("crawl_status"), F.year("o_orderdate").cast("long").alias("yr"))
+        .groupBy("crawl_status", "yr")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_gav_parse(spark, sf):  # F1/F2: GAV coordinate split
+    p = _t(spark, sf, "part")
+    uri = F.concat_ws(
+        "/",
+        F.regexp_replace(F.col("p_type"), " ", "/"),
+        F.col("p_brand"),
+        F.col("p_size").cast("string"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_size").cast("string"), F.lit(".jar")),
+    )
+    d = p.select("p_partkey", uri.alias("uri"))
+    return d.select("p_partkey", "uri", *enrich.parse_gav(F.col("uri")))
+
+
+def q_listing_ts_parse(spark, sf):  # F3/F5: listing-timestamp roundtrip
+    e = _t(spark, sf, "events")
+    ts_str = F.date_format("ts", "yyyy-MM-dd HH:mm")
+    return e.select(
+        "event_id",
+        ts_str.alias("ts_str"),
+        F.to_timestamp(ts_str, "yyyy-MM-dd HH:mm").alias("ts_min"),
+    )
+
+
+def q_json_flatten(spark, sf):  # F9/F10: nested JSON field extraction
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_id", k.alias("k_val")).filter(F.col("k_val") > 50)
+
+
+def q_error_json(spark, sf):  # F11: details dict → JSON string
+    e = _t(spark, sf, "events")
+    return e.filter(F.col("event_id") < 100).select(
+        "event_id",
+        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("details"),
+    )
+
+
+def q_prefix_filter(spark, sf):  # P7: startswith gate (CVE-prefix analog)
+    d = _t(spark, sf, "documents")
+    return (
+        d.filter(F.col("source").startswith("src1"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_host_extract(spark, sf):  # F13: parse_url host
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select("doc_id", F.parse_url(url, F.lit("HOST")).alias("host"))
+
+
+def q_sha_digest(spark, sf):  # F6: sha256 content digest
+    c = _t(spark, sf, "customer")
+    return (
+        c.filter(F.col("c_custkey") <= 50)
+        .select("c_custkey", F.sha2(F.col("c_name"), 256).alias("digest"))
+    )
+
+
+def q_tumbling_window(spark, sf):  # §2.9: tumbling-window counts (batch form)
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def q_first_en(spark, sf):  # P8: first english entry per group
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.min(F.when(F.col("lang") == "en", F.col("doc_id"))).alias("first_en_doc")
+    )
+
+
+def q_posexplode_order(spark, sf):  # W1: document-order explode with index
+    d = _t(spark, sf, "documents")
+    first3 = F.slice(F.split("text", " "), 1, 3)
+    return d.select(
+        "doc_id", F.posexplode(first3).alias("pos", "w")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "w")
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline operators
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    return textops.exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return textops.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return textops.minhash_lsh_candidates(d, n=3, k=16, bands=4)
+
+
+def q_dedup_simhash(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return textops.simhash(d, bits=32)
+
+
+def q_lang_id(spark, sf):
+    return textops.lang_id(_t(spark, sf, "documents"))
+
+
+def q_quality_score(spark, sf):
+    return textops.quality_score(_t(spark, sf, "documents"))
+
+
+def q_token_count(spark, sf):
+    return textops.token_count(_t(spark, sf, "documents"))
+
+
+def q_fingerprint(spark, sf):
+    return textops.fingerprint(_t(spark, sf, "documents").filter(F.col("doc_id") < 300))
+
+
+def _query_vec(spark, sf) -> list[float]:
+    row = _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0).head()
+    return [float(x) for x in row.embedding]
+
+
+def q_embed_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return simsearch.cosine_topk(e, _query_vec(spark, sf), k=10)
+
+
+def q_embed_ann_lsh(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return simsearch.lsh_bucketed_topk(e, _query_vec(spark, sf), k=10, n_planes=6)
+
+
+# -- non-SQL-expressible (rows-only checks) ----------------------------------
+
+def q_media_features(spark, sf):
+    return extract_features(synth_media(spark, 64)).drop("feature")
+
+
+def q_crawl_smoke(spark, sf):
+    graph = synth.generate_graph(synth.smoke_specs())
+    workdir = tempfile.mkdtemp(prefix="graven_q_")
+    out = _run_crawl(spark, graph, workdir)
+    return out.results(spark).select("url", "depth", "round", "text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "anti_join_unseen": q_anti_join_unseen,
+        "semi_join_seen": q_semi_join_seen,
+        "fetch_join_broadcast": q_fetch_join_broadcast,
+        "union_dedup_seen": q_union_dedup_seen,
+        "politeness_topk": q_politeness_topk,
+        "claim_first": q_claim_first,
+        "global_topk": q_global_topk,
+        "lineage_rollup": q_lineage_rollup,
+        "stage_counters": q_stage_counters,
+        "status_case": q_status_case,
+        "gav_parse": q_gav_parse,
+        "listing_ts_parse": q_listing_ts_parse,
+        "json_flatten": q_json_flatten,
+        "error_json": q_error_json,
+        "prefix_filter": q_prefix_filter,
+        "host_extract": q_host_extract,
+        "sha_digest": q_sha_digest,
+        "tumbling_window": q_tumbling_window,
+        "first_en": q_first_en,
+        "posexplode_order": q_posexplode_order,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_ann_lsh": q_embed_ann_lsh,
+        "media_features": q_media_features,
+        "crawl_smoke": q_crawl_smoke,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_H32 = "CAST(CAST(concat('0x', substring(md5({x}), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+_SHINGLES = (
+    "SELECT doc_id, unnest(list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1), "
+    "i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS shingle "
+    "FROM documents WHERE doc_id < 200"
+)
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        "min(%s) AS mh%d" % (_H32.format(x="concat(shingle, '#mh%d')" % i), i)
+        for i in range(16)
+    )
+    bands = []
+    for b in range(4):
+        cols = ", ".join(f"CAST(mh{b * 4 + j} AS VARCHAR)" for j in range(4))
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS bucket FROM sig"
+        )
+    banded = " UNION ALL ".join(bands)
+    return (
+        f"WITH sh AS ({_SHINGLES}), "
+        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        f"banded AS ({banded}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.doc_id < b.doc_id"
+    )
+
+
+def _simhash_sql() -> str:
+    h = _H32.format(x="w")
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)
+    )
+    sim = " + ".join(f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32))
+    return (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w "
+        "FROM documents WHERE doc_id < 300), "
+        f"hw AS (SELECT doc_id, {h} AS h FROM w), "
+        f"agg AS (SELECT doc_id, {sums} FROM hw GROUP BY doc_id) "
+        f"SELECT doc_id, {sim} AS simhash FROM agg"
+    )
+
+
+def _ann_sql() -> str:
+    n_planes = 6
+    dim = 64
+    def bucket_expr(vec: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            plane = simsearch._hyperplane(dim, p)
+            arr = "[" + ", ".join(str(x) for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(CAST({vec} AS DOUBLE[]), {arr}) >= 0 "
+                f"THEN {1 << p} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return (
+        "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), "
+        "cand AS (SELECT e.vec_id, e.embedding, q.embedding AS qv FROM embeddings e, q "
+        f"WHERE {bucket_expr('e.embedding')} = {bucket_expr('q.embedding')}) "
+        "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+        "CAST(qv AS DOUBLE[])), 4) AS cos_sim FROM cand "
+        "ORDER BY cos_sim DESC, vec_id LIMIT 10"
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in _EN)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "anti_join_unseen": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "semi_join_seen": (
+            "SELECT s_suppkey, s_name FROM supplier s WHERE EXISTS "
+            "(SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)"
+        ),
+        "fetch_join_broadcast": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "union_dedup_seen": (
+            "SELECT o_custkey AS key FROM orders UNION SELECT c_custkey AS key FROM customer"
+        ),
+        "politeness_topk": (
+            "SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events) WHERE rn <= 3"
+        ),
+        "claim_first": (
+            "SELECT o_custkey, o_orderkey, o_orderdate FROM (SELECT o_custkey, o_orderkey, "
+            "o_orderdate, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, "
+            "o_orderkey) AS rn FROM orders) WHERE rn = 1"
+        ),
+        "global_topk": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "lineage_rollup": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "stage_counters": (
+            "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users, "
+            "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "status_case": (
+            "SELECT CASE WHEN o_orderstatus = 'F' THEN 'COMPLETED' "
+            "WHEN o_orderstatus = 'O' THEN 'IN_PROGRESS' ELSE 'PENDING' END AS crawl_status, "
+            "year(o_orderdate) AS yr, count(*) AS n FROM orders GROUP BY 1, 2"
+        ),
+        "gav_parse": (
+            "WITH d AS (SELECT p_partkey, concat_ws('/', replace(p_type, ' ', '/'), "
+            "p_brand, CAST(p_size AS VARCHAR), concat(p_brand, '-', CAST(p_size AS VARCHAR), "
+            "'.jar')) AS uri FROM part) "
+            "SELECT p_partkey, uri, "
+            "array_to_string((string_split(uri,'/'))[1:len(string_split(uri,'/'))-3], '.') AS group_id, "
+            "(string_split(uri,'/'))[-3] AS artifact_id, "
+            "(string_split(uri,'/'))[-2] AS version, "
+            "(string_split(uri,'/'))[-1] AS jar_name FROM d"
+        ),
+        "listing_ts_parse": (
+            "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M') AS ts_str, "
+            "strptime(strftime(ts, '%Y-%m-%d %H:%M'), '%Y-%m-%d %H:%M') AS ts_min FROM events"
+        ),
+        "json_flatten": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val "
+            "FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50"
+        ),
+        "error_json": (
+            "SELECT event_id, concat('{\"event_id\":', event_id, ',\"event_type\":\"', "
+            "event_type, '\"}') AS details FROM events WHERE event_id < 100"
+        ),
+        "prefix_filter": (
+            "SELECT lang, count(*) AS n FROM documents WHERE source LIKE 'src1%' GROUP BY lang"
+        ),
+        "host_extract": (
+            "SELECT doc_id, regexp_extract(concat('https://', source, '.example.com/d/', "
+            "CAST(doc_id AS VARCHAR)), 'https?://([^/]+)', 1) AS host FROM documents"
+        ),
+        "sha_digest": (
+            "SELECT c_custkey, sha256(c_name) AS digest FROM customer WHERE c_custkey <= 50"
+        ),
+        "tumbling_window": (
+            "SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type, "
+            "count(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "first_en": (
+            "SELECT source, min(CASE WHEN lang = 'en' THEN doc_id END) AS first_en_doc "
+            "FROM documents GROUP BY source"
+        ),
+        "posexplode_order": (
+            "SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS w FROM "
+            "(SELECT doc_id, (string_split(text,' '))[1:3] AS l FROM documents)"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, "
+            "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH sh AS ({_SHINGLES}), "
+            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+            "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) "
+            "SELECT doc_a, doc_b, round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard "
+            "FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2"
+        ),
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "lang_id": (
+            "SELECT doc_id, round(CAST(len(list_filter(string_split(text,' '), "
+            f"w -> w IN ({_STOP_IN}))) AS DOUBLE) / greatest(len(string_split(text,' ')), 1), 6) "
+            "AS stopword_ratio, CASE WHEN round(CAST(len(list_filter(string_split(text,' '), "
+            f"w -> w IN ({_STOP_IN}))) AS DOUBLE) / greatest(len(string_split(text,' ')), 1), 6) "
+            ">= 0.05 THEN 'en' ELSE 'other' END AS lang_pred FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, "
+            "CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "
+            "round(CAST(length(text) AS DOUBLE) / greatest(len(string_split(text,' ')), 1), 6) AS mean_word_len, "
+            "round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) "
+            "/ greatest(length(text), 1), 6) AS punct_ratio, "
+            "round(least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * "
+            "(1 - round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) "
+            "/ greatest(length(text), 1), 6)), 6) AS quality FROM documents"
+        ),
+        "token_count": (
+            "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
+            "AS re_tokens FROM documents"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1), "
+            f"i -> {_H32.format(x='substring(text, i, 8)')})) AS fp "
+            "FROM documents WHERE doc_id < 300"
+        ),
+        "embed_cosine_topk": (
+            "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim FROM embeddings e, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+            "ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
+        ),
+        "embed_ann_lsh": _ann_sql(),
+    }

@@ -1,0 +1,209 @@
+"""Enrichment operators (analyzer / vuln-fetcher shapes, SURVEY.md §2.8,
+§2.3 J3/J4): scanner-report JSON flattening, GAV coordinate parsing,
+association joins — all pure Catalyst expressions.
+
+Reference parity:
+- grype report parse (matches[].vulnerability.{id,severity},
+  descriptor.timestamp): /root/reference/graven/worker/analyzer.py:69-95
+- CVE-prefix filter: analyzer.py:74-77
+- GAV parse from uri: /root/reference/graven/db/graven_database.py:295-304
+- prefix strip: graven_database.py:114 (const :25)
+- jar↔cve / cve↔cwe association upserts with PK dedup:
+  graven_database.py:330-351
+- NVD JSON: english description + CWE weaknesses + cvss base score:
+  /root/reference/graven/worker/vuln_fetcher.py:131-146
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GRYPE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "matches",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "vulnerability",
+                            T.StructType(
+                                [
+                                    T.StructField("id", T.StringType()),
+                                    T.StructField("severity", T.StringType()),
+                                ]
+                            ),
+                        )
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "descriptor",
+            T.StructType([T.StructField("timestamp", T.StringType())]),
+        ),
+    ]
+)
+
+
+def flatten_grype(reports: DataFrame, json_col: str = "report_json") -> DataFrame:
+    """reports(jar_id, report_json) → one row per CVE match:
+    (jar_id, vuln_id, severity, scan_ts). Non-CVE ids (GHSA-…) filtered,
+    matching the reference's startswith('CVE') gate (analyzer.py:74-77)."""
+    parsed = reports.withColumn("_r", F.from_json(F.col(json_col), GRYPE_SCHEMA))
+    return (
+        parsed.select(
+            "jar_id",
+            F.explode(F.col("_r.matches")).alias("m"),
+            F.to_timestamp(F.col("_r.descriptor.timestamp")).alias("scan_ts"),
+        )
+        .select(
+            "jar_id",
+            F.col("m.vulnerability.id").alias("vuln_id"),
+            F.col("m.vulnerability.severity").alias("severity"),
+            "scan_ts",
+        )
+        .filter(F.col("vuln_id").startswith("CVE"))
+    )
+
+
+MAVEN_ROOT = "https://repo1.maven.org/maven2/"
+
+
+def strip_prefix(url: Column, prefix: str = MAVEN_ROOT) -> Column:
+    """uri = url minus the repo root (graven_database.py:114)."""
+    return F.regexp_replace(url, "^" + prefix.replace(".", "\\."), "")
+
+
+def parse_gav(uri: Column) -> list[Column]:
+    """uri 'g/r/o/u/p/artifact/version/artifact-version.jar' →
+    (group_id dotted, artifact_id, version, jar_name)
+    (graven_database.py:295-304)."""
+    s = F.split(uri, "/")
+    return [
+        F.array_join(F.slice(s, 1, F.size(s) - 3), ".").alias("group_id"),
+        F.element_at(s, -3).alias("artifact_id"),
+        F.element_at(s, -2).alias("version"),
+        F.element_at(s, -1).alias("jar_name"),
+    ]
+
+
+def jar_cve_assoc(jar_matches: DataFrame, run_id: str) -> DataFrame:
+    """Association rows with PK dedup (graven_database.py:342-351)."""
+    return (
+        jar_matches.select("jar_id", F.col("vuln_id").alias("cve_id"))
+        .dropDuplicates(["jar_id", "cve_id"])
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
+def cve_cwe_assoc(cve_ref: DataFrame) -> DataFrame:
+    """cve_ref(cve_id, cwes array<string>) → association pairs + stub cwe
+    rows for ids not yet known (graven_database.py:330-340)."""
+    pairs = cve_ref.select(
+        "cve_id", F.explode("cwes").alias("cwe_id")
+    ).dropDuplicates(["cve_id", "cwe_id"])
+    return pairs
+
+
+NVD_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "vulnerabilities",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "cve",
+                            T.StructType(
+                                [
+                                    T.StructField("id", T.StringType()),
+                                    T.StructField(
+                                        "descriptions",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField("lang", T.StringType()),
+                                                    T.StructField("value", T.StringType()),
+                                                ]
+                                            )
+                                        ),
+                                    ),
+                                    T.StructField(
+                                        "metrics",
+                                        T.StructType(
+                                            [
+                                                T.StructField(
+                                                    "cvssMetricV31",
+                                                    T.ArrayType(
+                                                        T.StructType(
+                                                            [
+                                                                T.StructField(
+                                                                    "cvssData",
+                                                                    T.StructType(
+                                                                        [
+                                                                            T.StructField(
+                                                                                "baseScore",
+                                                                                T.DoubleType(),
+                                                                            )
+                                                                        ]
+                                                                    ),
+                                                                )
+                                                            ]
+                                                        )
+                                                    ),
+                                                )
+                                            ]
+                                        ),
+                                    ),
+                                    T.StructField(
+                                        "weaknesses",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField(
+                                                        "description",
+                                                        T.ArrayType(
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "value", T.StringType()
+                                                                    )
+                                                                ]
+                                                            )
+                                                        ),
+                                                    )
+                                                ]
+                                            )
+                                        ),
+                                    ),
+                                ]
+                            ),
+                        )
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_nvd(nvd_json: DataFrame, json_col: str = "nvd_json") -> DataFrame:
+    """NVD payload → (cve_id, description_en, base_score, cwes)
+    (vuln_fetcher.py:131-146): first english description, first v3.1 base
+    score, CWE-prefixed weakness values."""
+    c = F.element_at(F.from_json(F.col(json_col), NVD_SCHEMA)["vulnerabilities"], 1)["cve"]
+    desc_en = F.element_at(
+        F.filter(c["descriptions"], lambda d: d["lang"] == F.lit("en")), 1
+    )["value"]
+    score = F.element_at(c["metrics"]["cvssMetricV31"], 1)["cvssData"]["baseScore"]
+    weak_vals = F.flatten(F.transform(c["weaknesses"], lambda w: w["description"]))
+    cwes = F.filter(weak_vals, lambda d: d["value"].startswith("CWE"))
+    return nvd_json.select(
+        c["id"].alias("cve_id"),
+        desc_en.alias("description_en"),
+        score.alias("base_score"),
+        F.transform(cwes, lambda d: d["value"]).alias("cwes"),
+    )

@@ -103,8 +103,14 @@ def _dir_html(child_dirs: list[str], leaves: list[str], page_url: str) -> str:
     return "\n".join(lines)
 
 
-def generate_site(spec: SiteSpec) -> tuple[list[dict], list[str]]:
-    """Return (page rows, dead urls) for one host, breadth-first."""
+def generate_site(
+    spec: SiteSpec, leaf_texts: list[str] | None = None
+) -> tuple[list[dict], list[str]]:
+    """Return (page rows, dead urls) for one host, breadth-first.
+
+    ``leaf_texts``: optional corpus — leaf page bodies are drawn from it by
+    url-hash (used by ``entry()`` to crawl pages whose content comes from the
+    driver's ``documents`` table)."""
     rows: list[dict] = []
     dead: list[str] = []
     frontier = [(spec.root, 0)]
@@ -135,7 +141,11 @@ def generate_site(spec: SiteSpec) -> tuple[list[dict], list[str]]:
             if counter % spec.dead_leaf_every == 0:
                 dead.append(leaf_url)
                 continue
-            body = f"<html><body><p>{_leaf_body(leaf_url)}</p></body></html>"
+            if leaf_texts:
+                content = leaf_texts[stable_hash64(leaf_url) % len(leaf_texts)]
+            else:
+                content = _leaf_body(leaf_url)
+            body = f"<html><body><p>{content}</p></body></html>"
             rows.append(_page_row(leaf_url, body))
         html = _dir_html(child_dirs, leaves, url)
         rows.append(_page_row(url, html))
@@ -181,6 +191,7 @@ def generate_graph(
     specs: list[SiteSpec],
     host_budget: int = 8,
     disallow_every: int = 4,
+    leaf_texts: list[str] | None = None,
 ) -> SiteGraph:
     """Build the full fixture set for a list of hosts.
 
@@ -192,7 +203,7 @@ def generate_graph(
     seeds = []
     robots = []
     for rank, spec in enumerate(specs):
-        rows, _dead = generate_site(spec)
+        rows, _dead = generate_site(spec, leaf_texts=leaf_texts)
         all_rows.extend(rows)
         seeds.append({"seed_rank": rank, "url": spec.root.rstrip("/")})  # no slash:
         # canonicalization (crawler.py:152,195) must add it back.

@@ -1,0 +1,60 @@
+"""Streaming stages over arriving pages/events.
+
+- :func:`stream_extract` — readStream over a pages directory → Arrow-UDF
+  text extraction → append sink. The downloader/extractor stages of the
+  reference pipeline as a continuous flow (the crawler's frontier recursion
+  itself stays in the round driver: recursive self-feeding is not a
+  streaming-source shape).
+- :func:`windowed_rates` — tumbling-window throughput stats with a
+  watermark: the streaming analog of the reference's per-stage counters
+  (/root/reference/graven/shared/timer.py:47-57).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.extract import extract_text
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def stream_extract(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """Streaming DataFrame: pages → (url, text, lang) via the Arrow UDF."""
+    stream = (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_dir)
+    )
+    return stream.select(
+        "url", extract_text(F.col("html")).alias("text"), "lang", "warc_ts"
+    )
+
+
+def windowed_rates(pages_stream: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window page counts with late-data watermark."""
+    return (
+        pages_stream.withWatermark("warc_ts", "2 hours")
+        .groupBy(F.window("warc_ts", window), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "lang",
+            "n_pages",
+        )
+    )
+
+
+def run_to_memory(spark: SparkSession, df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming query to completion over the currently-available
+    files (test/smoke harness) and return the collected sink table."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
