@@ -1,0 +1,95 @@
+"""CLI entry point — the ``graven run/crawl/export`` analog
+(/root/reference/graven/__main__.py) for spark-submit:
+
+    spark-submit --py-files graven_spark.zip -m graven_spark crawl \
+        --pages PATH --seeds CSV --state DIR [--robots PATH] [--budget N]
+
+or locally: ``python -m graven_spark crawl ...``. See scripts/submit.sh for
+the packaged form.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .operators.bloom import BloomSpec
+from .plans.driver import crawl
+from .plans.frontier import CrawlConfig
+from .session import build_session
+
+
+def read_seeds(spark: SparkSession, path: str):
+    """Seed CSV, column 0 = url, file order = priority
+    (reference: cli_parser.py:246-259)."""
+    if path.endswith(".parquet"):
+        return spark.read.parquet(path).select("seed_rank", "url")
+    raw = spark.read.csv(path).select(F.col("_c0").alias("url"))
+    from pyspark.sql.window import Window
+
+    return raw.withColumn(
+        "seed_rank",
+        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="graven_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run/resume a crawl")
+    c.add_argument("--pages", required=True, help="pages table path (parquet)")
+    c.add_argument("--seeds", required=True, help="seed CSV (col 0 = url) or parquet")
+    c.add_argument("--state", required=True, help="checkpoint/state directory")
+    c.add_argument("--robots", default=None, help="robots rules parquet")
+    c.add_argument("--budget", type=int, default=None, help="default per-host per-round budget")
+    c.add_argument("--max-rounds", type=int, default=1000)
+    c.add_argument("--no-bloom", action="store_true")
+    c.add_argument("--bloom-buckets", type=int, default=32)
+    c.add_argument("--bloom-bits", type=int, default=1 << 21)
+
+    e = sub.add_parser("export", help="export crawl results (S7 analog)")
+    e.add_argument("--state", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--format", choices=["json", "parquet"], default="json")
+
+    args = p.parse_args(argv)
+    spark = build_session(app_name=f"graven_spark_{args.cmd}")
+
+    if args.cmd == "crawl":
+        cfg = CrawlConfig(
+            use_bloom=not args.no_bloom,
+            bloom=BloomSpec(n_buckets=args.bloom_buckets, bits_per_shard=args.bloom_bits),
+            max_rounds=args.max_rounds,
+            **({"default_budget": args.budget} if args.budget else {}),
+        )
+        seeds = read_seeds(spark, args.seeds)
+        robots = spark.read.parquet(args.robots) if args.robots else None
+        out = crawl(spark, args.pages, seeds, robots, args.state, cfg)
+        lineage = out.lineage(spark).groupBy("round").agg(
+            F.sum("urls_in").alias("urls_in"),
+            F.sum("urls_out").alias("urls_out"),
+            F.sum("bytes_fetched").alias("bytes"),
+        ).orderBy("round")
+        lineage.show(1000, truncate=False)
+        print(f"rounds={out.final_round} seen={out.seen(spark).count()} "
+              f"results={out.results(spark).count()}")
+    else:
+        from .sources.checkpoint import RoundStore
+
+        store = RoundStore(args.state)
+        k = store.latest_round()
+        if k is None:
+            print("no committed rounds in state dir")
+            return 1
+        results = store.read_results(spark, k)
+        writer = results.write.mode("overwrite")
+        (writer.json(args.out) if args.format == "json" else writer.parquet(args.out))
+        print(f"exported {results.count()} rows → {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -137,7 +137,7 @@ def run_round(
 
     # dead dir links: selected but absent from pages (404 analog)
     errors_dead = (
-        ranked.join(fetched.select("url"), "url", "left_anti")
+        ranked.join(F.broadcast(fetched.select("url")), "url", "left_anti")
         .select(
             F.lit(k).alias("round"), "url",
             F.lit("crawler").alias("stage"), F.lit("fetch_failed").alias("reason"),
@@ -193,7 +193,7 @@ def run_round(
         F.to_timestamp(F.col("ts_str"), LISTING_TS_SPARK_FORMAT).alias("publish_ts"),
     )
     errors_dead_leaf = (
-        new_leaves.join(leaf_pages.select("url"), "url", "left_anti")
+        new_leaves.join(F.broadcast(leaf_pages.select("url")), "url", "left_anti")
         .select(
             F.lit(k).alias("round"), "url",
             F.lit("download").alias("stage"), F.lit("fetch_failed").alias("reason"),

@@ -1,0 +1,97 @@
+"""Unit tests for the core relational operators: Bloom shards, admission,
+first-occurrence dedup, politeness selection, global ranking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graven_spark.operators.bloom import BloomSpec, build_shards, merge_shards, probe
+from graven_spark.operators.dedup import admit_new, first_occurrence
+from graven_spark.operators.politeness import gate_robots, select_round
+from graven_spark.operators.ranking import with_global_rank
+
+SPEC = BloomSpec(n_buckets=4, bits_per_shard=1 << 12, n_hashes=5)
+
+
+def test_bloom_no_false_negatives(spark):
+    urls = spark.createDataFrame([(f"u{i}",) for i in range(500)], "url string")
+    shards = build_shards(urls, SPEC)
+    probed = probe(urls.select("url"), shards, SPEC)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0  # every member hits
+
+
+def test_bloom_merge_is_union(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(100)], "url string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(100)], "url string")
+    merged = merge_shards(build_shards(a, SPEC), build_shards(b, SPEC))
+    probed = probe(a.union(b), merged, SPEC)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_admit_new_with_and_without_bloom_agree(spark):
+    cand = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(200)], "url string, priority long"
+    )
+    seen = spark.createDataFrame(
+        [(0, f"u{i}") for i in range(0, 200, 2)], "url_hash long, url string"
+    )
+    exact = {r.url for r in admit_new(cand, seen).collect()}
+    shards = build_shards(seen, SPEC)
+    with_bloom = {r.url for r in admit_new(cand, seen, shards, SPEC).collect()}
+    assert exact == with_bloom == {f"u{i}" for i in range(1, 200, 2)}
+
+
+def test_first_occurrence_keeps_min_priority(spark):
+    df = spark.createDataFrame(
+        [("u", 5, "a"), ("u", 2, "b"), ("v", 9, "c")],
+        "url string, priority long, tag string",
+    )
+    got = {r.url: (r.priority, r.tag) for r in first_occurrence(df).collect()}
+    assert got == {"u": (2, "b"), "v": (9, "c")}
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url string, host string, depth int, priority bigint, "
+        "parent_url string, discovery_idx int, retry_count int",
+    )
+
+
+def test_select_round_budget_and_order(spark):
+    rows = [
+        (f"https://h1/x{i}/", "h1", 0, i, None, 0, 0) for i in range(10)
+    ] + [(f"https://h2/y{i}/", "h2", 0, 100 + i, None, 0, 0) for i in range(3)]
+    frontier = _frontier(spark, rows)
+    robots = spark.createDataFrame(
+        [("h1", [], 4), ("h2", [], 2)],
+        "host string, disallow_prefixes array<string>, crawl_delay_tokens int",
+    )
+    flagged = select_round(frontier, robots, n_salts=3)
+    sel = {r.url for r in flagged.filter("selected").collect()}
+    # per host: budget-many smallest priorities
+    assert sel == {f"https://h1/x{i}/" for i in range(4)} | {
+        "https://h2/y0/", "https://h2/y1/"
+    }
+    assert flagged.count() == 13  # nothing lost
+
+
+def test_gate_robots_prefix(spark):
+    cand = spark.createDataFrame(
+        [("https://h1/block/a/", "h1"), ("https://h1/ok/", "h1"), ("https://h9/x/", "h9")],
+        "url string, host string",
+    )
+    robots = spark.createDataFrame(
+        [("h1", ["/block/"], 5)],
+        "host string, disallow_prefixes array<string>, crawl_delay_tokens int",
+    )
+    got = {r.url for r in gate_robots(cand, robots).collect()}
+    assert got == {"https://h1/ok/", "https://h9/x/"}  # unknown host passes
+
+
+def test_global_rank_dense_and_ordered(spark):
+    df = spark.createDataFrame([(i * 7 % 97,) for i in range(97)], "priority long")
+    ranked, n = with_global_rank(df, "priority", "rnk", num_partitions=5)
+    rows = sorted((r.priority, r.rnk) for r in ranked.collect())
+    assert n == 97
+    assert [r[1] for r in rows] == list(range(97))  # rank == sort position
