@@ -143,9 +143,21 @@ def schedule_job(spark, pages_path: str, seen_path: str, shards_path: str,
             F.lit(0).alias("retry_count"),
         )
     )
-    flagged = select_round(frontier, None)
+    robots_pd = __import__("pandas").read_parquet(
+        os.path.join(os.path.dirname(pages_path), "robots.parquet")
+    )
+    robots = spark.createDataFrame(
+        robots_pd,
+        schema="host string, disallow_prefixes array<string>, crawl_delay_tokens int",
+    )
+    flagged = select_round(frontier, robots)
     selected = flagged.filter(F.col("selected")).drop("selected")
-    ranked, n_sel = with_global_rank(selected, "priority", "fifo_rank")
+    # mega-round: the set is NOT budget-bounded → rank on the pruned pair and
+    # shuffle-join back on url (the fetch join shares the url exchange)
+    ranked_small, _ = with_global_rank(
+        selected.select("url", "priority"), "priority", "fifo_rank"
+    )
+    ranked = selected.join(ranked_small.select("url", "fifo_rank"), "url")
     fetched = (
         _load_pages(spark, pages_path, times)
         .select("url", "html")
@@ -250,11 +262,11 @@ def main() -> None:
     if scaling:
         cache = ensure_graph(spark, scale_specs(), SCALE_CACHE_DIR)
         spark.stop()
-        times = int(os.environ.get("SPARK_GRAFT_SCALE_TIMES", "8"))
+        times = int(os.environ.get("SPARK_GRAFT_SCALE_TIMES", "32"))
         res8 = measure_schedule("local[8]", cache, os.path.join(workdir, "m8"), times)
         res32 = measure_schedule("local[32]", cache, os.path.join(workdir, "m32"), times)
         eff = (res32["throughput"] / res8["throughput"]) / 4.0
-        write_baseline_md(res8, res32, eff)
+        write_baseline_md(res8, res32, eff, times)
         print(json.dumps({"scaling": {"local8": res8, "local32": res32,
                                       "efficiency": round(eff, 3)}}))
         shutil.rmtree(workdir, ignore_errors=True)
@@ -285,7 +297,7 @@ def main() -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
-def write_baseline_md(res8: dict, res32: dict, eff: float) -> None:
+def write_baseline_md(res8: dict, res32: dict, eff: float, times: int = 1) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
@@ -294,10 +306,13 @@ def write_baseline_md(res8: dict, res32: dict, eff: float) -> None:
 BASELINE.json requires ≥0.8 throughput scaling efficiency from N to 4N
 executors at a 10^10-URL frontier. No real cluster exists in this sandbox,
 so per the driver instructions we run the **identical frontier-scheduling
-job** (politeness select → global FIFO rank → fetch join → Arrow link
-extraction → first-occurrence dedup → Bloom-prefiltered anti-join vs a
-pre-seeded seen set) on the **same input** ({res8['pages']} synthetic pages,
-64 hosts, one skewed host) at two parallelism levels.
+job** (per-host politeness token buckets → global FIFO rank → fetch join →
+Arrow link extraction → first-occurrence dedup → Bloom broadcast-probe +
+single-pass conditional anti-join vs a pre-seeded ~30%-full seen set) on
+the **same input** ({res8['pages']:,} synthetic pages — a cached ~1M-page /
+128-host graph host-replicated {times}× on the fly, one heavily skewed
+host) at two parallelism levels. Shuffle dirs are on tmpfs (the stand-in
+for a cluster's NVMe+network shuffle tier).
 
 | parallelism | wall sec | URLs admitted | throughput (URLs scheduled+deduped/sec) |
 |---|---|---|---|

@@ -100,10 +100,54 @@ def merge_shards(*shard_dfs: DataFrame) -> DataFrame:
     return unioned.groupBy("bucket").applyInPandas(merge, SHARD_SCHEMA)
 
 
-def probe(candidates: DataFrame, shards: DataFrame, spec: BloomSpec, url_col: str = "url") -> DataFrame:
+def probe(
+    candidates: DataFrame,
+    shards: DataFrame,
+    spec: BloomSpec,
+    url_col: str = "url",
+) -> DataFrame:
+    """Default probe: broadcast the shard map (collected once per round,
+    ``n_buckets × shard_nbytes`` — e.g. 32×256 KiB = 8 MiB) and test
+    membership in a scalar pandas UDF over just the three hash columns.
+    Only 24 bytes/row cross the Arrow boundary and there is **no shuffle**;
+    measured ~10× faster than the cogrouped path at 7.5M candidates and it
+    scales with cores. Use :func:`probe_cogrouped` when the total filter
+    size exceeds comfortable broadcast (≈1 GiB — e.g. the full 10^10-URL
+    frontier), where shards must stay distributed."""
+    sc = candidates.sparkSession.sparkContext
+    shard_map = {
+        int(r["bucket"]): np.frombuffer(r["filter"], dtype=np.uint8)
+        for r in shards.collect()
+    }
+    bc = sc.broadcast(shard_map)
+
+    @F.pandas_udf("boolean")
+    def maybe_seen_udf(bucket: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
+        shards_local = bc.value
+        out = np.zeros(len(bucket), dtype=bool)
+        bvals = bucket.to_numpy()
+        h1v, h2v = h1.to_numpy(), h2.to_numpy()
+        for b in np.unique(bvals):
+            filt = shards_local.get(int(b))
+            if filt is None:
+                continue
+            mask = bvals == b
+            pos = _bit_positions(h1v[mask], h2v[mask], spec)
+            out[mask] = _test_bits(filt, pos)
+        return pd.Series(out)
+
+    hashed = with_bloom_hashes(candidates, url_col, spec)
+    return (
+        hashed.withColumn("maybe_seen", maybe_seen_udf("bucket", "_h1", "_h2"))
+        .drop("_h1", "_h2", "bucket")
+    )
+
+
+def probe_cogrouped(candidates: DataFrame, shards: DataFrame, spec: BloomSpec, url_col: str = "url") -> DataFrame:
     """Cogrouped probe: adds ``maybe_seen`` boolean. Candidates co-shuffled
     with their (single) shard row by bucket — shard bytes move once per
-    bucket, not once per candidate."""
+    bucket, not once per candidate. The scale path for filters too large to
+    broadcast; prefer :func:`probe` otherwise."""
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in candidates.schema.fields
     ) + ", maybe_seen boolean"

@@ -36,16 +36,20 @@ def admit_new(
 ) -> DataFrame:
     """Rows of ``candidates`` whose url is not in ``seen``.
 
-    With Bloom shards: bloom-negative rows are admitted join-free (the
-    filter has no false negatives); only bloom-positive rows — a tiny,
-    mostly-actually-seen slice — reach the exact ``left_anti`` join. Without
-    shards: plain exact anti-join. ``seen`` is read with column pruning
-    (url only)."""
+    With Bloom shards, membership is decided in a **single pass**: the
+    broadcast probe adds ``maybe_seen`` and the exact check is one
+    conditional anti-join — ``LEFT ANTI ON (url = url AND maybe_seen)`` —
+    so bloom-negative rows (no false negatives possible) can never match
+    and are admitted without ever probing the seen side's hash table, while
+    bloom-positive suspects get the exact string comparison. One join, no
+    plan duplication (a union of filtered branches would execute the whole
+    upstream — politeness, ranking, Arrow extraction — twice).
+
+    Without shards: plain exact anti-join. ``seen`` is always read with
+    column pruning (url only)."""
     seen_urls = seen.select("url")
     if shards is None:
         return candidates.join(seen_urls, "url", "left_anti")
     probed = probe(candidates, shards, spec or BloomSpec())
-    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed_new = suspects.join(seen_urls, "url", "left_anti")
-    return definitely_new.unionByName(confirmed_new)
+    cond = (probed["url"] == seen_urls["url"]) & probed["maybe_seen"]
+    return probed.join(seen_urls, cond, "left_anti").drop("maybe_seen")

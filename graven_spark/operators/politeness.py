@@ -2,16 +2,24 @@
 reference analog: global 100-request cap,
 /root/reference/graven/worker/crawler.py:27).
 
-Selection is two-phase so one hot host (the reference's world is literally
-single-host) can't pin a single task:
+Selection is **threshold-based** so the full frontier never shuffles:
 
-1. **local pre-prune** — a `(host, salt)`-partitioned window keeps only the
-   ``budget`` smallest priorities per salted slice (JVM-side, parallel even
-   for one host: the hot host is spread over ``n_salts`` slices);
-2. **exact token bucket** — ``groupBy(host).applyInPandas`` over the ≤
-   ``n_salts × budget`` survivors consumes tokens in priority order. This is
-   the one place per-host sequential logic lives (SURVEY.md §2.10), and where
-   a byte-cost-based budget would slot in.
+1. ``groupBy(host).count()`` (map-side combined — tiny shuffle of one row
+   per host) splits hosts into *within-budget* (everything selected, no
+   further work) and *over-budget*;
+2. over-budget hosts' rows — and only those — are pruned by a salted
+   `(host, salt)` window to ≤ ``n_salts × budget`` rows per host (JVM-side;
+   the hot host spreads over ``n_salts`` slices), then an exact per-host
+   token bucket in ``groupBy(host).applyInPandas`` consumes tokens in
+   priority order and emits one row per host: the **selection threshold**
+   (the budget-th smallest priority). This is the one place per-host
+   sequential logic lives (SURVEY.md §2.10);
+3. the frontier gets its ``selected`` flag from a broadcast join of the
+   per-host thresholds — no full-row shuffle, no Python round-trip, no
+   multi-million-row broadcast.
+
+Priorities are unique (core.py arithmetic), so ``priority ≤ threshold``
+selects exactly ``budget`` rows per over-budget host — deterministic FIFO.
 
 Rows not selected stay in the frontier for the next round (backpressure is
 structural, not sleep-based as in the reference's cache backoff,
@@ -29,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 DEFAULT_BUDGET = 1 << 30  # effectively unlimited when no robots row exists
+_MAX_PRIO = (1 << 63) - 1  # Long.MaxValue — priorities span the full int64 range
 
 
 def gate_robots(candidates: DataFrame, robots: DataFrame | None, url_col: str = "url") -> DataFrame:
@@ -49,6 +58,47 @@ def gate_robots(candidates: DataFrame, robots: DataFrame | None, url_col: str = 
     )
 
 
+def host_thresholds(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    default_budget: int,
+    n_salts: int,
+) -> DataFrame:
+    """Per-host selection thresholds: (host, _thr). Hosts within budget get
+    _thr = +inf; over-budget hosts get the budget-th smallest priority via
+    salted prune + exact token bucket."""
+    if robots is not None:
+        budgets = robots.select(
+            "host", F.col("crawl_delay_tokens").cast("long").alias("_budget")
+        )
+        hosted = frontier.join(F.broadcast(budgets), "host", "left").withColumn(
+            "_budget", F.coalesce("_budget", F.lit(default_budget))
+        )
+    else:
+        hosted = frontier.withColumn("_budget", F.lit(default_budget))
+
+    counts = hosted.groupBy("host", "_budget").agg(F.count("*").alias("_n"))
+    over = counts.filter(F.col("_n") > F.col("_budget")).select("host", "_budget")
+
+    # Only over-budget hosts' rows shuffle; everyone else is done already.
+    big = hosted.select("host", "url", "priority").join(F.broadcast(over), "host")
+    salt = F.pmod(F.xxhash64("url"), F.lit(n_salts))
+    w = Window.partitionBy(F.col("host"), salt).orderBy("priority")
+    pruned = (
+        big.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_budget"))
+        .select("host", "priority", "_budget")
+    )
+
+    def kth(pdf: pd.DataFrame) -> pd.DataFrame:
+        budget = int(pdf["_budget"].iloc[0])
+        prios = pdf["priority"].nsmallest(budget)
+        return pd.DataFrame({"host": [pdf["host"].iloc[0]], "_thr": [int(prios.iloc[-1])]})
+
+    thr_big = pruned.groupBy("host").applyInPandas(kth, "host string, _thr long")
+    return thr_big
+
+
 def select_round(
     frontier: DataFrame,
     robots: DataFrame | None,
@@ -61,39 +111,16 @@ def select_round(
     per host, the ``budget`` smallest ``priority`` values win.
     """
     cols = frontier.columns
-    if robots is not None:
-        budgets = robots.select("host", F.col("crawl_delay_tokens").cast("long").alias("_budget"))
-        frontier = frontier.join(F.broadcast(budgets), "host", "left")
-    else:
-        frontier = frontier.withColumn("_budget", F.lit(None).cast("long"))
-    frontier = frontier.withColumn("_budget", F.coalesce("_budget", F.lit(default_budget)))
+    if robots is None and default_budget >= DEFAULT_BUDGET:
+        # politeness disabled → selection is a no-op; don't pay anything.
+        return frontier.withColumn("selected", F.lit(True))
 
-    # Phase 1: salted local top-k. Keeps ≤ n_salts×budget rows per host.
-    salt = F.pmod(F.xxhash64("url"), F.lit(n_salts))
-    w = Window.partitionBy(F.col("host"), salt).orderBy("priority")
-    pruned = (
-        frontier.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("_budget"))
-        .drop("_rn")
-    )
-
-    # Phase 2: exact per-host token bucket over the survivors.
-    def take_budget(pdf: pd.DataFrame) -> pd.DataFrame:
-        budget = int(pdf["_budget"].iloc[0])
-        pdf = pdf.sort_values("priority", kind="mergesort")
-        return pdf.iloc[:budget].drop(columns=["_budget"])
-
-    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in frontier.schema.fields if f.name != "_budget")
-    chosen = (
-        pruned.groupBy("host")
-        .applyInPandas(take_budget, schema)
-        .select("url")
-        .withColumn("selected", F.lit(True))
-    )
-    # Chosen set is budget-bounded → broadcast back onto the full frontier.
+    thr = host_thresholds(frontier, robots, default_budget, n_salts)
     return (
-        frontier.drop("_budget")
-        .join(F.broadcast(chosen), "url", "left")
-        .withColumn("selected", F.coalesce("selected", F.lit(False)))
+        frontier.join(F.broadcast(thr), "host", "left")
+        .withColumn(
+            "selected",
+            F.col("priority") <= F.coalesce(F.col("_thr"), F.lit(_MAX_PRIO)),
+        )
         .select(*cols, "selected")
     )

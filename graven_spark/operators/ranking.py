@@ -36,6 +36,10 @@ def with_global_rank(
     Returns ``(ranked_df, total_rows)`` — the count falls out of the
     per-partition offsets for free."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Persist the (pruned) input: repartitionByRange's range-boundary
+    # sampling is its own job, and the offsets count is another — without
+    # this, each re-executes the full upstream plan.
+    df = df.persist()
     ranged = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(order_col)
     ranged = ranged.persist()
     counts = (
