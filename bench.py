@@ -232,6 +232,25 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def measure_schedule_subprocess(n_cores: int, cache: str, workdir: str, times: int) -> dict:
+    """Run one measurement in a subprocess pinned (taskset) to exactly
+    ``n_cores`` CPUs — local[N] alone does NOT model an N-core cluster for
+    pandas-UDF pipelines: the N JVM task threads block on Python workers,
+    which would otherwise spill onto the machine's idle cores and silently
+    inflate the small-N baseline."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--measure-one",
+           str(n_cores), workdir, str(times)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{n_cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"measurement failed: {out.stderr[-2000:]}")
+
+
 def measure_schedule(master: str, cache: str, workdir: str, times: int = 1) -> dict:
     spark = build_session(master=master, app_name=f"bench_{master}")
     try:
@@ -257,14 +276,21 @@ def main() -> None:
     scaling = "--scaling" in sys.argv
     workdir = tempfile.mkdtemp(prefix="graven_bench_")
 
+    if "--measure-one" in sys.argv:
+        i = sys.argv.index("--measure-one")
+        n_cores, wd, times = int(sys.argv[i + 1]), sys.argv[i + 2], int(sys.argv[i + 3])
+        res = measure_schedule(f"local[{n_cores}]", SCALE_CACHE_DIR, wd, times)
+        print(json.dumps(res))
+        return
+
     spark = build_session(master=f"local[{cpus}]", app_name="bench_main")
 
     if scaling:
         cache = ensure_graph(spark, scale_specs(), SCALE_CACHE_DIR)
         spark.stop()
         times = int(os.environ.get("SPARK_GRAFT_SCALE_TIMES", "32"))
-        res8 = measure_schedule("local[8]", cache, os.path.join(workdir, "m8"), times)
-        res32 = measure_schedule("local[32]", cache, os.path.join(workdir, "m32"), times)
+        res8 = measure_schedule_subprocess(8, cache, os.path.join(workdir, "m8"), times)
+        res32 = measure_schedule_subprocess(32, cache, os.path.join(workdir, "m32"), times)
         eff = (res32["throughput"] / res8["throughput"]) / 4.0
         write_baseline_md(res8, res32, eff, times)
         print(json.dumps({"scaling": {"local8": res8, "local32": res32,
@@ -311,8 +337,15 @@ Arrow link extraction → first-occurrence dedup → Bloom broadcast-probe +
 single-pass conditional anti-join vs a pre-seeded ~30%-full seen set) on
 the **same input** ({res8['pages']:,} synthetic pages — a cached ~1M-page /
 128-host graph host-replicated {times}× on the fly, one heavily skewed
-host) at two parallelism levels. Shuffle dirs are on tmpfs (the stand-in
-for a cluster's NVMe+network shuffle tier).
+host) at two parallelism levels. Each level runs in a subprocess pinned
+with ``taskset`` to exactly N CPUs, so the JVM task threads AND the Python
+(Arrow UDF) workers share the same N cores — bare ``local[N]`` would let
+the small-N baseline's Python workers spill onto the machine's idle cores
+and overstate the baseline. Shuffle dirs are on tmpfs (the stand-in for a
+cluster's NVMe+network shuffle tier). For calibration: a pure-Python
+32-process CPU burn on this box reaches only ~0.78 of linear scaling from
+8→32 cores (frequency/memory-bandwidth ceiling), which bounds any
+strong-scaling efficiency measured here.
 
 | parallelism | wall sec | URLs admitted | throughput (URLs scheduled+deduped/sec) |
 |---|---|---|---|

@@ -41,6 +41,7 @@ def run(master: str):
     spark.stop()
 
     stages = []
+    task_time: dict[int, list[float]] = {}
     files = [p for p in glob.glob(f"{evdir}/**", recursive=True) if os.path.isfile(p)]
     for path in files:
         for line in open(path, errors="ignore"):
@@ -61,13 +62,42 @@ def run(master: str):
                         "id": si["Stage ID"],
                         "name": si["Stage Name"].split("\n")[0][:60],
                         "wall_s": round((comp - sub) / 1000, 2),
+                        "sub": sub, "comp": comp,
                         "tasks": si["Number of Tasks"],
                     }
                 )
+            elif ev.get("Event") == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                m = ev.get("Task Metrics") or {}
+                task_time.setdefault(sid, [0.0, 0.0, 0.0])
+                task_time[sid][0] += m.get("Executor Run Time", 0) / 1000
+                task_time[sid][2] += m.get("JVM GC Time", 0) / 1000
+                ti = ev.get("Task Info", {})
+                dur = (ti.get("Finish Time", 0) - ti.get("Launch Time", 0)) / 1000
+                task_time[sid][1] = max(task_time[sid][1], dur)
+    # stage-coverage: wall covered by at least one running stage
+    iv = sorted((s["sub"], s["comp"]) for s in stages)
+    covered, cur_s, cur_e = 0, None, None
+    for s_, e_ in iv:
+        if cur_s is None:
+            cur_s, cur_e = s_, e_
+        elif s_ <= cur_e:
+            cur_e = max(cur_e, e_)
+        else:
+            covered += cur_e - cur_s
+            cur_s, cur_e = s_, e_
+    if cur_s is not None:
+        covered += cur_e - cur_s
+    total_task = sum(v[0] for v in task_time.values())
     stages.sort(key=lambda s: -s["wall_s"])
-    print(f"\n=== {master}: wall {wall:.1f}s, {len(stages)} stages ===")
-    for s in stages[:14]:
-        print(f"  {s['wall_s']:7.2f}s  tasks={s['tasks']:4d}  [{s['id']}] {s['name']}")
+    print(f"\n=== {master}: wall {wall:.1f}s | stage-covered {covered/1000:.1f}s | "
+          f"task-sec {total_task:.0f} ({total_task/wall:.1f} cores busy avg) ===")
+    total_gc = sum(v[2] for v in task_time.values())
+    print(f"    total GC task-sec: {total_gc:.0f}")
+    for s in stages[:12]:
+        tt = task_time.get(s["id"], [0, 0, 0])
+        print(f"  {s['wall_s']:7.2f}s  tasksec={tt[0]:7.1f} gc={tt[2]:6.1f} maxtask={tt[1]:5.1f}s "
+              f"tasks={s['tasks']:4d} [{s['id']}] {s['name']}")
     return wall
 
 
