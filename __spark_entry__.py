@@ -173,6 +173,24 @@ def q_status_case(spark, sf):  # P11: domain-status CASE gate
     )
 
 
+def q_where_builder(spark, sf):  # P12/P10: equality-conjunction + IS NULL filter
+    e = _t(spark, sf, "events")
+    from functools import reduce
+    conds = {"event_type": "click"}
+    pred = reduce(lambda a, b: a & b, [F.col(k) == v for k, v in conds.items()])
+    return e.filter(pred & F.col("value").isNotNull()).select("event_id", "user_id", "value")
+
+
+def q_assoc_dedup(spark, sf):  # J3/J4: association insert with PK dedup
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_supps"))
+    )
+
+
 def q_gav_parse(spark, sf):  # F1/F2: GAV coordinate split
     p = _t(spark, sf, "part")
     uri = F.concat_ws(
@@ -339,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_rollup": q_lineage_rollup,
         "stage_counters": q_stage_counters,
         "status_case": q_status_case,
+        "where_builder": q_where_builder,
+        "assoc_dedup": q_assoc_dedup,
         "gav_parse": q_gav_parse,
         "listing_ts_parse": q_listing_ts_parse,
         "json_flatten": q_json_flatten,
@@ -488,6 +508,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN o_orderstatus = 'F' THEN 'COMPLETED' "
             "WHEN o_orderstatus = 'O' THEN 'IN_PROGRESS' ELSE 'PENDING' END AS crawl_status, "
             "year(o_orderdate) AS yr, count(*) AS n FROM orders GROUP BY 1, 2"
+        ),
+        "where_builder": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_type = 'click' AND value IS NOT NULL"
+        ),
+        "assoc_dedup": (
+            "SELECT l_partkey, count(*) AS n_supps FROM "
+            "(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) GROUP BY l_partkey"
         ),
         "gav_parse": (
             "WITH d AS (SELECT p_partkey, concat_ws('/', replace(p_type, ' ', '/'), "
