@@ -17,15 +17,21 @@ from .bloom import BloomSpec, probe
 def first_occurrence(candidates: DataFrame, key: str = "url", order: str = "priority") -> DataFrame:
     """Within-batch dedup keeping the smallest ``order`` row per ``key`` —
     the FIFO first-occurrence the reference's serial seen-probe produces.
-    min(struct(order, ...)) is a single map-side-combinable aggregate: no
-    window, no second shuffle."""
+    ``min(order)`` + ``min_by(others, order)`` is a single map-side-
+    combinable aggregate: no window, no second shuffle — and unlike
+    ``min(struct(...))`` (whose struct buffer forces SortAggregate, i.e. a
+    full sort on both sides of the exchange) ``min_by`` is a typed
+    imperative aggregate that runs as ObjectHashAggregate, sort-free."""
     others = [c for c in candidates.columns if c not in (key, order)]
-    packed = F.min(F.struct(F.col(order), *[F.col(c) for c in others])).alias("_r")
-    return (
-        candidates.groupBy(key)
-        .agg(packed)
-        .select(key, f"_r.{order}", *[f"_r.{c}" for c in others])
-    )
+    aggs = [F.min(F.col(order)).alias(order)]
+    if others:
+        aggs.append(
+            F.min_by(F.struct(*[F.col(c) for c in others]), F.col(order)).alias("_r")
+        )
+    out = candidates.groupBy(key).agg(*aggs)
+    if others:
+        out = out.select(key, order, *[f"_r.{c}" for c in others])
+    return out
 
 
 def admit_new(

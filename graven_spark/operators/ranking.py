@@ -2,26 +2,31 @@
 
 The round plan needs each fetched URL's 0-based rank in global priority
 order (the reference's FIFO dequeue position — children inherit it into
-their own priorities, core.py arithmetic). A bare
+their own priorities, core.py arithmetic; the reference's analog is the
+queue position of ``queue.Queue`` at
+/root/reference/graven/worker/crawler.py:52,70). A bare
 ``row_number() OVER (ORDER BY priority)`` funnels the whole set through one
-partition; instead:
+partition; ``repartitionByRange`` adds a range-sampling job. Instead we use
+the key's own value distribution analytically:
 
-1. range-repartition by the order key (partitions are globally ordered);
-2. sort within partitions (no extra shuffle);
-3. count rows per partition (tiny collect: one long per partition);
-4. ``mapInPandas`` adds ``partition_offset + local_index``.
+1. one tiny agg pass → (min, max, count) of the order key;
+2. equal-width bucket id ``floor((key - min) * nb / span)`` — a pure
+   projection, order-monotonic, no sampling shuffle (crawl priorities are
+   either uniform 64-bit url hashes or dense ``rank*STRIDE + idx`` ints, so
+   equal-width buckets are balanced either way);
+3. per-bucket counts (map-side combinable, ≤ nb rows collected) → driver
+   computes cumulative offsets;
+4. ``row_number() OVER (PARTITION BY bucket ORDER BY key) + offset[bucket]``
+   — one hash shuffle on the bucket id, fully whole-stage-codegen JVM work;
+   no Python/Arrow round trip anywhere.
 
-One range shuffle total, every stage parallel. For budget-bounded round sets
-this is overkill locally but is the shape that survives 1000 executors.
+Every stage is parallel and the only data collected is one stats row plus
+one long per bucket, so the same plan holds on 1000 executors.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
-from pyspark import TaskContext
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -31,39 +36,50 @@ def with_global_rank(
     rank_col: str = "fifo_rank",
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
-    """Attach a dense 0-based global rank by ``order_col`` (must be unique).
+    """Attach a dense 0-based global rank by ``order_col`` (numeric, must be
+    unique). Returns ``(ranked_df, total_rows)`` — the count falls out of the
+    bucket offsets for free.
 
-    Returns ``(ranked_df, total_rows)`` — the count falls out of the
-    per-partition offsets for free."""
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Persist the (pruned) input: repartitionByRange's range-boundary
-    # sampling is its own job, and the offsets count is another — without
-    # this, each re-executes the full upstream plan.
+    The input is persisted: the stats pass, the counts pass and the final
+    rank job would each re-execute the upstream plan otherwise.
+    """
+    spark = df.sparkSession
+    nb = num_partitions or spark.sparkContext.defaultParallelism * 4
     df = df.persist()
-    ranged = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(order_col)
-    ranged = ranged.persist()
-    counts = (
-        ranged.groupBy(F.spark_partition_id().alias("_pid"))
-        .count()
-        .collect()
+    stats = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi"),
+        F.count("*").alias("n"),
+    ).first()
+    total = int(stats["n"])
+    if total == 0:
+        return df.withColumn(rank_col, F.lit(0).cast("long")), 0
+
+    lo = float(stats["lo"])
+    span = float(stats["hi"]) - lo + 1.0
+    # Order-monotonic equal-width bucket id: double cast / mul / floor are
+    # all monotone non-decreasing, so bucket(p1) <= bucket(p2) iff p1 <= p2
+    # — the within-bucket sort restores exact order.
+    bucket = F.least(
+        F.lit(nb - 1),
+        F.floor((F.col(order_col).cast("double") - F.lit(lo)) * F.lit(float(nb)) / F.lit(span)),
+    ).cast("int")
+    bdf = df.withColumn("_rb", bucket)
+
+    counts = {r["_rb"]: r["count"] for r in bdf.groupBy("_rb").count().collect()}
+    offsets, acc = [], 0
+    for b in range(nb):
+        offsets.append(acc)
+        acc += counts.get(b, 0)
+    assert acc == total
+
+    offset_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
+    w = Window.partitionBy("_rb").orderBy(order_col)
+    ranked = (
+        bdf.withColumn(
+            rank_col,
+            (F.row_number().over(w).cast("long") - 1
+             + F.element_at(offset_arr, F.col("_rb") + 1)),
+        )
+        .drop("_rb")
     )
-    by_pid = {r["_pid"]: r["count"] for r in counts}
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(by_pid):
-        offsets[pid] = acc
-        acc += by_pid[pid]
-
-    schema_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + f", `{rank_col}` bigint"
-
-    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        local = offsets.get(pid, 0)
-        for pdf in batches:
-            pdf[rank_col] = range(local, local + len(pdf))
-            local += len(pdf)
-            yield pdf
-
-    return ranged.mapInPandas(add_rank, schema_ddl), acc
+    return ranked, total

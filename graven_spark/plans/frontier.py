@@ -118,15 +118,9 @@ def run_round(
     deferred = flagged.filter(~F.col("selected")).drop("selected").select(*FRONTIER_COLS)
 
     # -- global FIFO rank (W1/W2) ------------------------------------------
-    # Rank on a pruned (url, priority) projection — only 2 columns cross the
-    # ranking machinery — then broadcast the (url, fifo_rank) map back onto
-    # the full rows (the round set is broadcast-sized by construction).
-    ranked_small, n_selected = with_global_rank(
-        selected.select("url", "priority"), "priority", "fifo_rank"
-    )
-    ranked = selected.join(
-        F.broadcast(ranked_small.select("url", "fifo_rank")), "url"
-    )
+    # JVM-only analytic rank over the full round set: one bucket-hash shuffle
+    # (no range sampling, no Python round trip, no join-back).
+    ranked, n_selected = with_global_rank(selected, "priority", "fifo_rank")
     if n_selected == 0:
         raise RuntimeError(
             f"round {k}: frontier non-empty but nothing selected — "

@@ -37,6 +37,16 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # InferFiltersFromGenerate turns posexplode(extract_links(html))
+        # into an inferred `size(extract_links(html).links) > 0` filter that
+        # predicate-pushdown then moves BELOW the fetch join — running the
+        # Arrow UDF over the whole pages table a second time and breaking
+        # the bucketed scan's output partitioning. Generator input here is
+        # always a UDF result, so the inference is a pure pessimization.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
