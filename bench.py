@@ -493,8 +493,10 @@ levels. Each level runs in a fresh subprocess pinned with ``taskset`` to
 exactly N CPUs (JVM task threads AND Python Arrow-UDF workers share those
 N cores — bare ``local[N]`` would let the small-N baseline's Python workers
 spill onto idle cores and overstate the baseline), warm-runs once, then
-takes best of {trials} timed runs (min wall = least interference on this
-shared-capacity cloud box). Shuffle dirs are on tmpfs; shuffle partitions
+runs {trials} timed trials; levels are interleaved across separated time
+windows (rounds) and the best wall time per level is kept (min wall = least
+interference on this shared-capacity cloud box, whose effective capacity
+drifts ±20% over minutes). Shuffle dirs are on tmpfs; shuffle partitions
 are pinned to 32 at every level so the physical plan is IDENTICAL across
 levels — only the core count varies, exactly like adding executors.
 
