@@ -216,7 +216,7 @@ def schedule_job(spark, pages_ref: str, seen_ref: str, shards_path: str,
     selected = flagged.filter(F.col("selected")).drop("selected")
     # mega-round: rank the full row set directly — the analytic rank is one
     # bucket-hash shuffle, cheaper than rank-on-pair + join-back on url
-    ranked, _ = with_global_rank(selected, "priority", "fifo_rank")
+    ranked, _, pinned = with_global_rank(selected, "priority", "fifo_rank")
     # fetch join: pages is the stream side — when it's the bucketed pages_b
     # table this reads buckets directly with NO exchange of (url, html)
     fetched = (
@@ -239,8 +239,13 @@ def schedule_job(spark, pages_ref: str, seen_ref: str, shards_path: str,
     cand = first_occurrence(cand)
     seen = spark.read.parquet(seen_ref) if os.sep in seen_ref else spark.table(seen_ref)
     shards = spark.read.parquet(shards_path)
-    new = admit_new(cand, seen, shards, BLOOM)
-    return new.count()
+    bcs: list = []
+    new = admit_new(cand, seen, shards, BLOOM, track=bcs)
+    n = new.count()
+    pinned.unpersist()
+    for bc in bcs:  # one broadcast per trial would otherwise accumulate
+        bc.destroy()
+    return n
 
 
 def prepare_seen(spark, pages_path: str, workdir: str, times: int = 1) -> tuple[str, str]:

@@ -2,15 +2,27 @@
 (/root/reference/graven/__main__.py) for spark-submit:
 
     spark-submit --py-files graven_spark.zip -m graven_spark crawl \
-        --pages PATH --seeds CSV --state DIR [--robots PATH] [--budget N]
+        --pages PATH --seeds CSV --state DIR [--robots PATH] [--budget N] \
+        [--max-retries N] [--update-domain HOST ...] [--update-jar PREFIX]
 
 or locally: ``python -m graven_spark crawl ...``. See scripts/submit.sh for
 the packaged form.
+
+Export formats: json/parquet directories (distributed write), or zip/tar.gz
+archives (the reference's SBOM archive export,
+/root/reference/graven/db/graven_database.py:407-448): results are written
+as JSON parts by the executors, then the driver packages the parts — the
+archive container itself is inherently a single-writer artifact, exactly as
+in the reference.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+import tarfile
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -29,10 +41,31 @@ def read_seeds(spark: SparkSession, path: str):
     raw = spark.read.csv(path).select(F.col("_c0").alias("url"))
     from pyspark.sql.window import Window
 
+    # Single-partition window: seed files are tiny by construction (they are
+    # the hand-written crawl roots) — never the data path.
     return raw.withColumn(
         "seed_rank",
         F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
     )
+
+
+def export_archive(results, out: str, kind: str) -> int:
+    """Write results as JSON parts (distributed), then package the parts
+    into one archive on the driver (deterministic member order)."""
+    tmp = tempfile.mkdtemp(prefix="graven_export_")
+    results.write.mode("overwrite").json(tmp)
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".json")
+    )
+    if kind == "zip":
+        with zipfile.ZipFile(out, "w", compression=zipfile.ZIP_DEFLATED) as z:
+            for i, f in enumerate(parts):
+                z.write(os.path.join(tmp, f), arcname=f"results-{i:05d}.json")
+    else:
+        with tarfile.open(out, "w:gz") as t:
+            for i, f in enumerate(parts):
+                t.add(os.path.join(tmp, f), arcname=f"results-{i:05d}.json")
+    return len(parts)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -44,16 +77,27 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--seeds", required=True, help="seed CSV (col 0 = url) or parquet")
     c.add_argument("--state", required=True, help="checkpoint/state directory")
     c.add_argument("--robots", default=None, help="robots rules parquet")
-    c.add_argument("--budget", type=int, default=None, help="default per-host per-round budget")
+    c.add_argument("--budget", type=int, default=None,
+                   help="default per-host per-round budget (0 = select nothing)")
     c.add_argument("--max-rounds", type=int, default=1000)
+    c.add_argument("--max-retries", type=int, default=0,
+                   help="requeue failed dir fetches up to N times (U4)")
     c.add_argument("--no-bloom", action="store_true")
     c.add_argument("--bloom-buckets", type=int, default=32)
     c.add_argument("--bloom-bits", type=int, default=1 << 21)
+    c.add_argument("--seen-buckets", type=int, default=32,
+                   help="bucket count for the compacted seen base table")
+    c.add_argument("--update-domain", action="append", default=[],
+                   help="re-open a COMPLETED host on resume: purge its seen "
+                        "URLs and re-seed its root (repeatable)")
+    c.add_argument("--update-jar", default=None, metavar="PREFIX",
+                   help="re-fetch + re-extract recorded results under PREFIX")
 
     e = sub.add_parser("export", help="export crawl results (S7 analog)")
     e.add_argument("--state", required=True)
     e.add_argument("--out", required=True)
-    e.add_argument("--format", choices=["json", "parquet"], default="json")
+    e.add_argument("--format", choices=["json", "parquet", "zip", "tar.gz"],
+                   default="json")
 
     args = p.parse_args(argv)
     spark = build_session(app_name=f"graven_spark_{args.cmd}")
@@ -63,7 +107,11 @@ def main(argv: list[str] | None = None) -> int:
             use_bloom=not args.no_bloom,
             bloom=BloomSpec(n_buckets=args.bloom_buckets, bits_per_shard=args.bloom_bits),
             max_rounds=args.max_rounds,
-            **({"default_budget": args.budget} if args.budget else {}),
+            max_retries=args.max_retries,
+            seen_buckets=args.seen_buckets,
+            update_domains=args.update_domain,
+            update_url_prefix=args.update_jar,
+            **({"default_budget": args.budget} if args.budget is not None else {}),
         )
         seeds = read_seeds(spark, args.seeds)
         robots = spark.read.parquet(args.robots) if args.robots else None
@@ -74,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
             F.sum("bytes_fetched").alias("bytes"),
         ).orderBy("round")
         lineage.show(1000, truncate=False)
+        out.domains(spark).orderBy("host").show(100, truncate=False)
         print(f"rounds={out.final_round} seen={out.seen(spark).count()} "
               f"results={out.results(spark).count()}")
     else:
@@ -85,9 +134,13 @@ def main(argv: list[str] | None = None) -> int:
             print("no committed rounds in state dir")
             return 1
         results = store.read_results(spark, k)
-        writer = results.write.mode("overwrite")
-        (writer.json(args.out) if args.format == "json" else writer.parquet(args.out))
-        print(f"exported {results.count()} rows → {args.out}")
+        if args.format in ("zip", "tar.gz"):
+            n = export_archive(results, args.out, "zip" if args.format == "zip" else "tar")
+            print(f"exported {results.count()} rows in {n} members → {args.out}")
+        else:
+            writer = results.write.mode("overwrite")
+            (writer.json(args.out) if args.format == "json" else writer.parquet(args.out))
+            print(f"exported {results.count()} rows → {args.out}")
     return 0
 
 

@@ -105,21 +105,28 @@ def probe(
     shards: DataFrame,
     spec: BloomSpec,
     url_col: str = "url",
+    track: list | None = None,
 ) -> DataFrame:
     """Default probe: broadcast the shard map (collected once per round,
     ``n_buckets × shard_nbytes`` — e.g. 32×256 KiB = 8 MiB) and test
     membership in a scalar pandas UDF over just the three hash columns.
     Only 24 bytes/row cross the Arrow boundary and there is **no shuffle**;
     measured ~10× faster than the cogrouped path at 7.5M candidates and it
-    scales with cores. Use :func:`probe_cogrouped` when the total filter
-    size exceeds comfortable broadcast (≈1 GiB — e.g. the full 10^10-URL
-    frontier), where shards must stay distributed."""
+    scales with cores. ``admit_new`` switches to :func:`probe_cogrouped`
+    automatically when the total filter size exceeds its broadcast limit
+    (e.g. the full 10^10-URL frontier), where shards must stay distributed.
+
+    ``track``: optional list collecting the broadcast handle so the caller
+    can ``destroy()`` it once its actions finish (one broadcast per round
+    would otherwise accumulate over a long crawl)."""
     sc = candidates.sparkSession.sparkContext
     shard_map = {
         int(r["bucket"]): np.frombuffer(r["filter"], dtype=np.uint8)
         for r in shards.collect()
     }
     bc = sc.broadcast(shard_map)
+    if track is not None:
+        track.append(bc)
 
     @F.pandas_udf("boolean")
     def maybe_seen_udf(bucket: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:

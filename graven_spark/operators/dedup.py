@@ -11,51 +11,81 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bloom import BloomSpec, probe
+from .bloom import BloomSpec, probe, probe_cogrouped
+
+# Above this total filter size the broadcast probe would strain the driver
+# (the 10^10-URL filter is tens of GB); switch to the cogrouped probe where
+# shards stay distributed. Overridable per call / via CrawlConfig.
+BLOOM_BROADCAST_LIMIT = 256 << 20
 
 
 def first_occurrence(candidates: DataFrame, key: str = "url", order: str = "priority") -> DataFrame:
     """Within-batch dedup keeping the smallest ``order`` row per ``key`` —
     the FIFO first-occurrence the reference's serial seen-probe produces.
-    ``min(order)`` + ``min_by(others, order)`` is a single map-side-
-    combinable aggregate: no window, no second shuffle — and unlike
-    ``min(struct(...))`` (whose struct buffer forces SortAggregate, i.e. a
-    full sort on both sides of the exchange) ``min_by`` is a typed
-    imperative aggregate that runs as ObjectHashAggregate, sort-free."""
+
+    One ``min(order)`` + scalar ``min_by(col, order)`` per carried column:
+    a single map-side-combinable aggregate — one shuffle, no window, no
+    join-back. Physical operator: **SortAggregate** (measured; min/min_by
+    buffers over string columns aren't hash-agg capable), i.e. each side of
+    the exchange sorts its partition before combining. Measured against the
+    alternatives at 200k rows × 5k keys: scalar min_by 0.24s,
+    min_by(struct) 0.30s, min(priority)+shuffled-hash semi-join-back 0.31s —
+    and the semi-join variant executes the upstream (the Arrow link-extract
+    explode) twice. The partial sort is the documented, cheapest option;
+    PLANS.md asserts SortAggregate as the *intended* operator."""
     others = [c for c in candidates.columns if c not in (key, order)]
-    aggs = [F.min(F.col(order)).alias(order)]
-    if others:
-        aggs.append(
-            F.min_by(F.struct(*[F.col(c) for c in others]), F.col(order)).alias("_r")
-        )
-    out = candidates.groupBy(key).agg(*aggs)
-    if others:
-        out = out.select(key, order, *[f"_r.{c}" for c in others])
-    return out
+    aggs = [F.min(F.col(order)).alias(order)] + [
+        F.min_by(F.col(c), F.col(order)).alias(c) for c in others
+    ]
+    return candidates.groupBy(key).agg(*aggs)
 
 
 def admit_new(
     candidates: DataFrame,
-    seen: DataFrame,
+    seen: DataFrame | list[DataFrame] | None,
     shards: DataFrame | None = None,
     spec: BloomSpec | None = None,
+    broadcast_limit: int = BLOOM_BROADCAST_LIMIT,
+    track: list | None = None,
 ) -> DataFrame:
-    """Rows of ``candidates`` whose url is not in ``seen``.
+    """Rows of ``candidates`` whose url is in no part of ``seen``.
 
-    With Bloom shards, membership is decided in a **single pass**: the
-    broadcast probe adds ``maybe_seen`` and the exact check is one
-    conditional anti-join — ``LEFT ANTI ON (url = url AND maybe_seen)`` —
-    so bloom-negative rows (no false negatives possible) can never match
-    and are admitted without ever probing the seen side's hash table, while
-    bloom-positive suspects get the exact string comparison. One join, no
-    plan duplication (a union of filtered branches would execute the whole
-    upstream — politeness, ranking, Arrow extraction — twice).
+    ``seen`` is the LSM view of the seen set: the big bucketed base plus the
+    small recent deltas (pass a list ordered big→small; a single DataFrame
+    or None also works). Each part is one conditional anti-join —
+    ``LEFT ANTI ON (url = url AND maybe_seen)`` — so bloom-negative rows
+    (no false negatives possible) are admitted without probing any exact
+    hash table, while bloom-positive suspects get the exact string check
+    against every part. Chaining is cheap: after the first join the
+    candidate side is already hash-partitioned on url, so later parts only
+    shuffle their own (small) side.
 
-    Without shards: plain exact anti-join. ``seen`` is always read with
-    column pruning (url only)."""
-    seen_urls = seen.select("url")
+    The Bloom probe path is auto-selected by total filter size:
+    ≤ ``broadcast_limit`` ⇒ broadcast probe (no shuffle, scalar pandas UDF);
+    above ⇒ cogrouped probe (shards stay distributed). ``track``, when
+    given, collects broadcast handles for the caller to destroy after its
+    actions complete.
+
+    Correctness never depends on the shards (bloom-positive ⇒ exact check);
+    it does require the shards to cover the whole seen set — a missing or
+    stale shard's false *negative* would skip the exact check. RoundMeta
+    records the spec so resume rebuilds on mismatch (frontier.py)."""
+    parts = [seen] if isinstance(seen, DataFrame) else list(seen or [])
     if shards is None:
-        return candidates.join(seen_urls, "url", "left_anti")
-    probed = probe(candidates, shards, spec or BloomSpec())
-    cond = (probed["url"] == seen_urls["url"]) & probed["maybe_seen"]
-    return probed.join(seen_urls, cond, "left_anti").drop("maybe_seen")
+        out = candidates
+        for p in parts:
+            out = out.join(p.select("url"), "url", "left_anti")
+        return out
+    spec = spec or BloomSpec()
+    if spec.n_buckets * spec.shard_nbytes > broadcast_limit:
+        probed = probe_cogrouped(candidates, shards, spec)
+    else:
+        probed = probe(candidates, shards, spec, track=track)
+    if not parts:
+        return probed.drop("maybe_seen")
+    out = probed
+    for p in parts:
+        pu = p.select(F.col("url").alias("_seen_url"))
+        cond = (F.col("url") == F.col("_seen_url")) & F.col("maybe_seen")
+        out = out.join(pu, cond, "left_anti")
+    return out.drop("maybe_seen")

@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 
 DEFAULT_BUDGET = 1 << 30  # effectively unlimited when no robots row exists
 _MAX_PRIO = (1 << 63) - 1  # Long.MaxValue — priorities span the full int64 range
+_MIN_PRIO = -(1 << 63)  # Long.MinValue — a threshold that selects nothing
 
 
 def gate_robots(candidates: DataFrame, robots: DataFrame | None, url_col: str = "url") -> DataFrame:
@@ -78,7 +79,15 @@ def host_thresholds(
         hosted = frontier.withColumn("_budget", F.lit(default_budget))
 
     counts = hosted.groupBy("host", "_budget").agg(F.count("*").alias("_n"))
-    over = counts.filter(F.col("_n") > F.col("_budget")).select("host", "_budget")
+    # budget ≤ 0 hosts select NOTHING (threshold below every real priority) —
+    # they must not fall through to the salted prune, whose empty result
+    # would coalesce to +inf and invert budget 0 into "unlimited".
+    none_hosts = counts.filter(F.col("_budget") <= 0).select(
+        "host", F.lit(_MIN_PRIO).alias("_thr")
+    )
+    over = counts.filter(
+        (F.col("_n") > F.col("_budget")) & (F.col("_budget") > 0)
+    ).select("host", "_budget")
 
     # Only over-budget hosts' rows shuffle; everyone else is done already.
     big = hosted.select("host", "url", "priority").join(F.broadcast(over), "host")
@@ -96,7 +105,7 @@ def host_thresholds(
         return pd.DataFrame({"host": [pdf["host"].iloc[0]], "_thr": [int(prios.iloc[-1])]})
 
     thr_big = pruned.groupBy("host").applyInPandas(kth, "host string, _thr long")
-    return thr_big
+    return thr_big.unionByName(none_hosts)
 
 
 def select_round(

@@ -35,13 +35,13 @@ def with_global_rank(
     order_col: str = "priority",
     rank_col: str = "fifo_rank",
     num_partitions: int | None = None,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """Attach a dense 0-based global rank by ``order_col`` (numeric, must be
-    unique). Returns ``(ranked_df, total_rows)`` — the count falls out of the
-    bucket offsets for free.
-
-    The input is persisted: the stats pass, the counts pass and the final
-    rank job would each re-execute the upstream plan otherwise.
+    unique). Returns ``(ranked_df, total_rows, pinned)`` — the count falls
+    out of the bucket offsets for free; ``pinned`` is the persisted input
+    handle the CALLER must ``unpersist()`` after its actions complete (the
+    stats pass, the counts pass and the final rank job would each re-execute
+    the upstream plan otherwise, but the cache must not leak round-over-round).
     """
     spark = df.sparkSession
     nb = num_partitions or spark.sparkContext.defaultParallelism * 4
@@ -52,7 +52,7 @@ def with_global_rank(
     ).first()
     total = int(stats["n"])
     if total == 0:
-        return df.withColumn(rank_col, F.lit(0).cast("long")), 0
+        return df.withColumn(rank_col, F.lit(0).cast("long")), 0, df
 
     lo = float(stats["lo"])
     span = float(stats["hi"]) - lo + 1.0
@@ -72,14 +72,20 @@ def with_global_rank(
         acc += counts.get(b, 0)
     assert acc == total
 
-    offset_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
+    # Offsets ride in as a broadcast relation, not an nb-literal array in the
+    # plan (nb = 4×parallelism ⇒ thousands of plan literals on a cluster).
+    # The broadcast join adds no shuffle; the window's hash shuffle on _rb is
+    # still the only data movement.
+    offsets_df = spark.createDataFrame(
+        [(b, off) for b, off in enumerate(offsets)], "_rb int, _off long"
+    )
     w = Window.partitionBy("_rb").orderBy(order_col)
     ranked = (
-        bdf.withColumn(
+        bdf.join(F.broadcast(offsets_df), "_rb")
+        .withColumn(
             rank_col,
-            (F.row_number().over(w).cast("long") - 1
-             + F.element_at(offset_arr, F.col("_rb") + 1)),
+            F.row_number().over(w).cast("long") - 1 + F.col("_off"),
         )
-        .drop("_rb")
+        .drop("_rb", "_off")
     )
-    return ranked, total
+    return ranked, total, df

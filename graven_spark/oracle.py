@@ -66,10 +66,14 @@ def crawl_oracle(
     robots: dict[str, dict] | None = None,
     default_host_budget: int = 1 << 30,
     max_rounds: int = 1 << 20,
+    max_retries: int = 0,
 ) -> OracleRun:
     """Run the reference-faithful crawl; ``pages`` maps url → page row dict
     with at least ``html`` (bytes); ``robots`` maps host →
-    {disallow_prefixes, crawl_delay_tokens}."""
+    {disallow_prefixes, crawl_delay_tokens}. ``max_retries``: failed dir
+    fetches re-enter the next frontier with retry_count+1 (U4, reference
+    requeue /root/reference/graven/worker/generator.py:71-76); every failed
+    attempt logs an error row."""
     robots = robots or {}
     run = OracleRun()
 
@@ -108,6 +112,7 @@ def crawl_oracle(
                 deferred.append(row)
 
         new_dirs: list[FrontierRow] = []
+        retries: list[FrontierRow] = []
         bytes_fetched = 0
         urls_out = 0
         # FIFO fetch order within the round = priority order; parent fifo
@@ -119,6 +124,12 @@ def crawl_oracle(
                     {"round": round_no, "url": row.url, "stage": "crawler",
                      "reason": "fetch_failed"}
                 )
+                if row.retry_count < max_retries:  # U4 requeue
+                    retries.append(
+                        FrontierRow(row.url, row.host, row.depth, row.priority,
+                                    row.parent_url, row.discovery_idx,
+                                    row.retry_count + 1)
+                    )
                 continue
             html = page["html"]
             bytes_fetched += len(html)
@@ -174,6 +185,25 @@ def crawl_oracle(
             }
         )
         priority_base += len(selected) * PRIORITY_STRIDE
-        frontier = deferred + new_dirs
+        frontier = deferred + new_dirs + retries
         round_no += 1
     return run
+
+
+def domains_oracle(run: OracleRun) -> dict[str, tuple[str, int, int | None]]:
+    """Fold the frontier snapshots into the expected domain-lifecycle table:
+    host → (status, start_round, end_round). A host is IN_PROGRESS while
+    present in the frontier; its first absence stamps COMPLETED/end_round;
+    re-discovery re-opens it (frontier.py:_domains_step)."""
+    states = [{r.host for r in snap} for snap in run.frontier_snapshots]
+    states.append(set())  # the final committed state dir holds the empty frontier
+    out: dict[str, tuple[str, int, int | None]] = {}
+    for k, hosts in enumerate(states):
+        for h in set(out) | hosts:
+            prev = out.get(h)
+            if h in hosts:
+                out[h] = ("IN_PROGRESS", prev[1] if prev else k, None)
+            else:
+                _status, start, end = prev
+                out[h] = ("COMPLETED", start, end if end is not None else k)
+    return out

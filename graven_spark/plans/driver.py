@@ -1,5 +1,5 @@
-"""Iterative crawl driver: the round loop, seeding, resume, and output
-handles (SURVEY.md §3.1-3.3).
+"""Iterative crawl driver: the round loop, seeding, resume, re-process
+modes, and output handles (SURVEY.md §3.1-3.3).
 
 The loop condition is frontier-emptiness, exactly the reference's
 empty-queue protocol (/root/reference/graven/worker/crawler.py:130-163);
@@ -8,6 +8,18 @@ status-reset re-claim, /root/reference/graven/db/graven_database.py:159-165,
 /root/reference/graven/worker/worker.py:56-58). A killed in-flight round is
 simply re-run — every round write is idempotent (mode=overwrite) and the
 commit marker is written last, so replay cannot double-count.
+
+Re-process modes (applied as one extra committed round transition on resume):
+- ``cfg.update_domains`` — the reference's ``--update-domain`` re-open of
+  COMPLETED domains (/root/reference/graven/worker/crawler.py:172-184,
+  graven_database.py:103-115): purge the hosts' URLs from the seen set
+  (materialized as a fresh bucketed seen_full — the LSM makes deletion a
+  compaction, not an in-place mutation), rebuild the Bloom shards from the
+  purged set, re-seed the hosts' roots, stamp the domains IN_PROGRESS.
+- ``cfg.update_url_prefix`` — the reference's ``--update-jar`` re-process
+  of already-seen artifacts (crawler.py:141-170): re-fetch + re-extract
+  every recorded result url under the prefix; the store's results reader
+  keeps only the newest round's row per url.
 """
 
 from __future__ import annotations
@@ -15,9 +27,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..sources.checkpoint import RoundStore
-from .frontier import CrawlConfig, init_run, run_round
+from ..functions.canon import canonicalize, host_of
+from ..functions.extract import extract_text
+from ..operators.bloom import build_shards
+from ..sources.checkpoint import RoundMeta, RoundStore
+from .frontier import FRONTIER_COLS, CrawlConfig, _meta_bloom, init_run, run_round
 
 
 @dataclass
@@ -37,8 +53,113 @@ class CrawlOutputs:
     def lineage(self, spark: SparkSession) -> DataFrame:
         return self.store.read_lineage(spark, self.final_round)
 
+    def domains(self, spark: SparkSession) -> DataFrame:
+        return self.store.read_domains(spark, self.final_round)
+
     def frontier(self, spark: SparkSession, k: int) -> DataFrame:
         return self.store.read_frontier(spark, k)
+
+
+def _reopen_domains(
+    spark: SparkSession,
+    store: RoundStore,
+    k: int,
+    seeds: DataFrame,
+    cfg: CrawlConfig,
+) -> RoundMeta:
+    """One committed round transition k → k+1 that re-opens
+    ``cfg.update_domains``: purged seen base + rebuilt shards + re-seeded
+    roots + IN_PROGRESS domain stamps."""
+    hosts = cfg.update_domains
+    meta = store.meta(k)
+    reseed = (
+        seeds.select(
+            canonicalize(F.col("url")).alias("url"),
+            F.col("seed_rank").cast("long").alias("priority"),
+        )
+        .withColumn("host", host_of(F.col("url")))
+        .filter(F.col("host").isin(hosts))
+        .withColumn("depth", F.lit(0))
+        .withColumn("parent_url", F.lit(None).cast("string"))
+        .withColumn("discovery_idx", F.col("priority").cast("int"))
+        .withColumn("retry_count", F.lit(0))
+        .select(*FRONTIER_COLS)
+    )
+    purged = store.read_seen(spark, k).filter(
+        ~host_of(F.col("url")).isin(hosts)
+    )
+    from .frontier import _seen_delta
+
+    seen_next = purged.unionByName(_seen_delta(reseed))
+    next_frontier = store.read_frontier(spark, k).unionByName(reseed)
+    store.write(k + 1, "frontier", next_frontier)
+    store.write_seen_full(spark, k + 1, seen_next)
+    if cfg.use_bloom:
+        store.write(k + 1, "shards", build_shards(store.read_seen(spark, k + 1), cfg.bloom))
+    domains = store.read_domains(spark, k).select(
+        "host",
+        F.when(F.col("host").isin(hosts), F.lit("IN_PROGRESS"))
+        .otherwise(F.col("status")).alias("status"),
+        F.when(F.col("host").isin(hosts), F.lit(k + 1))
+        .otherwise(F.col("start_round")).alias("start_round"),
+        F.when(F.col("host").isin(hosts), F.lit(None).cast("int"))
+        .otherwise(F.col("end_round")).alias("end_round"),
+    )
+    store.write(k + 1, "domains", domains)
+    next_meta = RoundMeta(
+        round=k + 1,
+        priority_base=meta.priority_base,
+        frontier_count=next_frontier.count(),
+        seen_buckets=cfg.seen_buckets,
+        **_meta_bloom(cfg),
+    )
+    store.commit(k + 1, next_meta)
+    return next_meta
+
+
+def _update_urls(
+    spark: SparkSession,
+    store: RoundStore,
+    k: int,
+    pages_path: str,
+    cfg: CrawlConfig,
+) -> RoundMeta:
+    """One committed round transition k → k+1 re-processing every recorded
+    result url under ``cfg.update_url_prefix`` (re-fetch + re-extract; the
+    url's depth/publish_ts are carried from the prior row, round is
+    re-stamped — read_results keeps the newest row per url)."""
+    meta = store.meta(k)
+    targets = (
+        store.read_results(spark, k)
+        .filter(F.col("url").startswith(cfg.update_url_prefix))
+        .select("url", "depth", "publish_ts")
+    )
+    pages = spark.read.parquet(pages_path).select("url", "warc_ts", "html", "lang")
+    refreshed = pages.join(F.broadcast(targets), "url", "inner").select(
+        "url",
+        "warc_ts",
+        extract_text(F.col("html")).alias("text"),
+        "lang",
+        "depth",
+        F.lit(k + 1).alias("round"),
+        "publish_ts",
+    )
+    frontier = store.read_frontier(spark, k)
+    store.write(k + 1, "frontier", frontier)
+    store.write(k + 1, "results_delta", refreshed)
+    store.write(k + 1, "domains", store.read_domains(spark, k))
+    shards = store.read_shards(spark, k)
+    if shards is not None:
+        store.write(k + 1, "shards", shards)
+    next_meta = RoundMeta(
+        round=k + 1,
+        priority_base=meta.priority_base,
+        frontier_count=meta.frontier_count,
+        seen_buckets=cfg.seen_buckets,
+        **_meta_bloom(cfg),
+    )
+    store.commit(k + 1, next_meta)
+    return next_meta
 
 
 def crawl(
@@ -51,7 +172,8 @@ def crawl(
 ) -> CrawlOutputs:
     """Run (or resume) a crawl to completion; returns output handles."""
     cfg = cfg or CrawlConfig()
-    store = RoundStore(state_dir, compact_every=cfg.compact_every)
+    store = RoundStore(state_dir, compact_every=cfg.compact_every,
+                       seen_buckets=cfg.seen_buckets)
 
     k = store.latest_round()
     if k is None:
@@ -59,6 +181,12 @@ def crawl(
         k = 0
     else:
         meta = store.meta(k)
+        if cfg.update_domains:
+            meta = _reopen_domains(spark, store, k, seeds, cfg)
+            k = meta.round
+        if cfg.update_url_prefix:
+            meta = _update_urls(spark, store, k, pages_path, cfg)
+            k = meta.round
 
     while meta.frontier_count > 0 and meta.round < cfg.max_rounds:
         meta = run_round(spark, store, pages_path, robots, cfg, meta.round)

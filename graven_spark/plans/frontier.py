@@ -4,9 +4,10 @@
       → fetch join against pages (broadcast the budget-bounded round set)
       → extract links (Arrow UDF) → absolutize → batch dedup (first
         occurrence) → robots gate → Bloom-prefiltered anti-join vs seen
-      → split: dirs → frontier_{k+1} ∪ deferred ; leaves → fetch join →
-        extract text (Arrow UDF) → results
-      → seen MERGE (append delta), lineage rows, shard update, atomic commit.
+      → split: dirs → frontier_{k+1} ∪ deferred ∪ retries ; leaves →
+        fetch join → extract text (Arrow UDF) → results
+      → seen MERGE (append delta), lineage rows, shard update, domain
+        lifecycle rows, atomic commit.
 
 This replaces the reference's six-thread claim-check pipeline
 (/root/reference/graven/worker/pipeline_builder.py:124-224) with
@@ -18,9 +19,23 @@ Scale notes (explicitly engineered, SURVEY.md §4.2):
   url lists (dead-link detection);
 - candidate dedup/admission shuffles hash on url (pmod(xxhash64)) — the salt
   that kills host skew, since one host's URLs spread uniformly;
-- ``seen`` is only ever read with column pruning (url) and only probed by the
-  bloom-positive slice;
-- per-round parquet round-trip keeps the iterative plan O(1) per round.
+- the seen set is an LSM: the admission anti-join probes the bucketed,
+  url-sorted ``seen_full`` base with NO Exchange and NO Sort on the seen
+  side (checkpoint.py), then the small post-compaction deltas (candidates
+  are already url-partitioned by then — only the delta side moves);
+- ``seen`` is only ever read with column pruning (url) and only probed by
+  the bloom-positive slice;
+- per-round parquet round-trip keeps the iterative plan O(1) per round;
+  every persisted handle and the per-round Bloom broadcast are released
+  before the round returns (nothing accumulates over a long crawl).
+
+Retry/requeue (U4, reference /root/reference/graven/worker/generator.py:71-76
++ scanner.py:80-85): a selected directory URL whose fetch fails re-enters
+the next round's frontier with ``retry_count + 1`` until
+``cfg.max_retries`` is exhausted; every failed attempt is recorded as an
+error row (the reference logs each failure too). Leaf download failures are
+terminal (the reference retries those inside its HTTP adapter, not via the
+queue).
 """
 
 from __future__ import annotations
@@ -34,10 +49,10 @@ from ..core import LISTING_TS_SPARK_FORMAT, PRIORITY_STRIDE, SEED_PRIORITY_BASE
 from ..functions.canon import canonicalize, host_of, url_hash
 from ..functions.extract import extract_links, extract_text
 from ..operators.bloom import BloomSpec, build_shards, merge_shards
-from ..operators.dedup import admit_new, first_occurrence
+from ..operators.dedup import BLOOM_BROADCAST_LIMIT, admit_new, first_occurrence
 from ..operators.politeness import DEFAULT_BUDGET, gate_robots, select_round
 from ..operators.ranking import with_global_rank
-from ..sources.checkpoint import RoundMeta, RoundStore
+from ..sources.checkpoint import SEEN_BUCKETS_DEFAULT, RoundMeta, RoundStore
 
 FRONTIER_COLS = [
     "url", "host", "depth", "priority", "parent_url", "discovery_idx", "retry_count",
@@ -53,12 +68,74 @@ class CrawlConfig:
     n_salts: int = 8
     compact_every: int = 8
     max_rounds: int = 1000
+    max_retries: int = 0  # U4: failed dir fetches requeue up to this many times
+    seen_buckets: int = SEEN_BUCKETS_DEFAULT
+    bloom_broadcast_limit: int = BLOOM_BROADCAST_LIMIT
+    # --update-domain analog: hosts to purge from seen + re-seed on resume.
+    update_domains: list[str] = field(default_factory=list)
+    # --update-jar analog: re-fetch+re-extract seen leaf urls with this prefix.
+    update_url_prefix: str | None = None
 
 
 def _seen_delta(new_urls: DataFrame) -> DataFrame:
     return new_urls.select(
         url_hash(F.col("url")).alias("url_hash"), "url"
     )
+
+
+def _meta_bloom(cfg: CrawlConfig) -> dict:
+    return {
+        "bloom_on": cfg.use_bloom,
+        "bloom_buckets": cfg.bloom.n_buckets if cfg.use_bloom else 0,
+        "bloom_bits": cfg.bloom.bits_per_shard if cfg.use_bloom else 0,
+        "bloom_hashes": cfg.bloom.n_hashes if cfg.use_bloom else 0,
+    }
+
+
+def _domains_step(
+    prev: DataFrame, next_frontier: DataFrame, next_round: int
+) -> DataFrame:
+    """Domain lifecycle fold (reference crawl_start/crawl_end stamps +
+    COMPLETED gate, /root/reference/graven/db/graven_database.py:188-210):
+    a host is IN_PROGRESS while it has frontier rows; its first absence
+    stamps COMPLETED/end_round; re-discovery re-opens it. Tiny data — one
+    row per host ever seen."""
+    present = next_frontier.select("host").distinct().withColumn(
+        "_present", F.lit(True)
+    )
+    j = prev.join(present, "host", "full")
+    is_present = F.coalesce(F.col("_present"), F.lit(False))
+    return j.select(
+        "host",
+        F.when(is_present, F.lit("IN_PROGRESS"))
+        .otherwise(F.lit("COMPLETED"))
+        .alias("status"),
+        F.coalesce(F.col("start_round"), F.lit(next_round)).alias("start_round"),
+        F.when(is_present, F.lit(None).cast("int"))
+        .otherwise(F.coalesce(F.col("end_round"), F.lit(next_round)))
+        .alias("end_round"),
+    )
+
+
+def validated_shards(
+    spark: SparkSession, store: RoundStore, meta: RoundMeta, cfg: CrawlConfig, k: int
+) -> DataFrame | None:
+    """Round k's Bloom shards, rebuilt from the full seen set when they are
+    missing or were built with a different spec (a mismatched shard's false
+    negative would skip the exact check and admit a duplicate — the spec is
+    part of the checkpoint contract, recorded in RoundMeta)."""
+    if not cfg.use_bloom:
+        return None
+    spec_ok = (
+        meta.bloom_on
+        and meta.bloom_buckets == cfg.bloom.n_buckets
+        and meta.bloom_bits == cfg.bloom.bits_per_shard
+        and meta.bloom_hashes == cfg.bloom.n_hashes
+    )
+    shards = store.read_shards(spark, k) if spec_ok else None
+    if shards is None:
+        shards = build_shards(store.read_seen(spark, k), cfg.bloom)
+    return shards
 
 
 def init_run(
@@ -87,12 +164,24 @@ def init_run(
     store.write(0, "frontier", frontier0)
     frontier0 = store.read_frontier(spark, 0)
     store.write(0, "seen_delta", _seen_delta(frontier0))
+    store.write(
+        0,
+        "domains",
+        frontier0.select("host").distinct().select(
+            "host",
+            F.lit("IN_PROGRESS").alias("status"),
+            F.lit(0).alias("start_round"),
+            F.lit(None).cast("int").alias("end_round"),
+        ),
+    )
     if cfg.use_bloom:
         store.write(0, "shards", build_shards(frontier0, cfg.bloom))
     meta = RoundMeta(
         round=0,
         priority_base=SEED_PRIORITY_BASE,
         frontier_count=frontier0.count(),
+        seen_buckets=cfg.seen_buckets,
+        **_meta_bloom(cfg),
     )
     store.commit(0, meta)
     return meta
@@ -109,8 +198,11 @@ def run_round(
     """Execute round k (state in round_k/) and commit round_{k+1}/."""
     meta = store.meta(k)
     frontier = store.read_frontier(spark, k)
-    seen = store.read_seen(spark, k)
-    shards = store.read_shards(spark, k) if cfg.use_bloom else None
+    seen_base = store.read_seen_base(spark, k)
+    seen_deltas = store.read_seen_deltas(spark, k)
+    seen_parts = [p for p in (seen_base, seen_deltas) if p is not None]
+    shards = validated_shards(spark, store, meta, cfg, k)
+    bloom_bcs: list = []
 
     # -- politeness selection (W3/T3) --------------------------------------
     flagged = select_round(frontier, robots, cfg.default_budget, cfg.n_salts)
@@ -120,8 +212,9 @@ def run_round(
     # -- global FIFO rank (W1/W2) ------------------------------------------
     # JVM-only analytic rank over the full round set: one bucket-hash shuffle
     # (no range sampling, no Python round trip, no join-back).
-    ranked, n_selected = with_global_rank(selected, "priority", "fifo_rank")
+    ranked, n_selected, pinned = with_global_rank(selected, "priority", "fifo_rank")
     if n_selected == 0:
+        pinned.unpersist()
         raise RuntimeError(
             f"round {k}: frontier non-empty but nothing selected — "
             "politeness budget must be ≥ 1 per active host"
@@ -137,13 +230,20 @@ def run_round(
         .persist()
     )
 
-    # dead dir links: selected but absent from pages (404 analog)
-    errors_dead = (
+    # dead dir links: selected but absent from pages (404 analog). Failed
+    # attempts requeue with retry_count+1 until cfg.max_retries (U4).
+    failed = (
         ranked.join(F.broadcast(fetched.select("url")), "url", "left_anti")
-        .select(
-            F.lit(k).alias("round"), "url",
-            F.lit("crawler").alias("stage"), F.lit("fetch_failed").alias("reason"),
-        )
+        .persist()
+    )
+    errors_dead = failed.select(
+        F.lit(k).alias("round"), "url",
+        F.lit("crawler").alias("stage"), F.lit("fetch_failed").alias("reason"),
+    )
+    retries = (
+        failed.filter(F.col("retry_count") < F.lit(cfg.max_retries))
+        .withColumn("retry_count", F.col("retry_count") + 1)
+        .select(*FRONTIER_COLS)
     )
     errors_parse = fetched.filter(F.col("ext.parse_failed")).select(
         F.lit(k).alias("round"), "url",
@@ -173,7 +273,10 @@ def run_round(
 
     cand = gate_robots(cand, robots)
     cand = first_occurrence(cand)  # within-batch FIFO first-occurrence dedup
-    new = admit_new(cand, seen, shards, cfg.bloom).persist()
+    new = admit_new(
+        cand, seen_parts, shards, cfg.bloom,
+        broadcast_limit=cfg.bloom_broadcast_limit, track=bloom_bcs,
+    ).persist()
 
     new_dirs = (
         new.filter(F.col("is_dir"))
@@ -230,7 +333,7 @@ def run_round(
     )
 
     # -- write round k+1 -----------------------------------------------------
-    next_frontier = deferred.unionByName(new_dirs).persist()
+    next_frontier = deferred.unionByName(new_dirs).unionByName(retries).persist()
     next_count = next_frontier.count()
     store.write(k + 1, "frontier", next_frontier)
     store.write(k + 1, "seen_delta", _seen_delta(new))
@@ -240,6 +343,10 @@ def run_round(
         errors_dead.unionByName(errors_parse).unionByName(errors_dead_leaf),
     )
     store.write(k + 1, "lineage", lineage)
+    store.write(
+        k + 1, "domains",
+        _domains_step(store.read_domains(spark, k), next_frontier, k + 1),
+    )
     if cfg.use_bloom:
         delta = build_shards(new, cfg.bloom)
         shards_next = merge_shards(shards, delta) if shards is not None else delta
@@ -249,9 +356,13 @@ def run_round(
         round=k + 1,
         priority_base=meta.priority_base + n_selected * PRIORITY_STRIDE,
         frontier_count=next_count,
+        seen_buckets=cfg.seen_buckets,
+        **_meta_bloom(cfg),
     )
     store.commit(k + 1, next_meta)
 
-    for df in (fetched, new, leaf_pages, next_frontier):
+    for df in (fetched, failed, new, leaf_pages, next_frontier, pinned):
         df.unpersist()
+    for bc in bloom_bcs:
+        bc.destroy()
     return next_meta

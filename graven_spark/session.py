@@ -48,6 +48,11 @@ def build_session(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # The checkpoint store's seen_full base is written bucketed + sorted
+        # with exactly one file per bucket; with this flag the bucketed scan
+        # reports its sort order, so the admission SortMergeJoin merge-reads
+        # the seen side with NO Exchange and NO Sort (verified in PLANS.md).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")

@@ -10,16 +10,33 @@ Layout (round k's directory holds the state *entering* round k):
 
     root/
       round_000000/            # seeded state
-        frontier/  seen_delta/ shards/ meta.json  _COMMIT
+        frontier/  seen_delta/ shards/ domains/ meta.json  _COMMIT
       round_000001/            # after round 0 ran
         frontier/  seen_delta/ results_delta/ errors_delta/ lineage/
-        shards/    meta.json   _COMMIT
+        shards/    domains/    meta.json      _COMMIT
+      round_000008/            # a compaction round additionally holds
+        seen_full/             # the consolidated seen set (see below)
 
-``seen`` is read as the union of all ``seen_delta`` since the last
-compaction; every ``compact_every`` rounds the store rewrites a consolidated
-``seen_full`` so the file count (and the anti-join's scan set) stays bounded
-over long crawls. Bloom shards are cumulative — only the latest committed
-round's ``shards/`` is read.
+``seen`` is an LSM: a bucketed, sorted ``seen_full`` base (written by the
+periodic compaction) plus the per-round ``seen_delta`` parquet files after
+it. The base is written with ``bucketBy(B, url).sortBy(url)`` — one file per
+bucket — and read back through the session catalog as a bucketed table, so
+the per-round admission anti-join needs **no Exchange and no Sort on the
+seen side** (the big, growing side); only the round's bounded candidate set
+shuffles. The small deltas since the last compaction are anti-joined after
+the base probe (candidates are already hash-partitioned on url by then, so
+only the delta side moves).
+
+Compaction is crash-safe: the consolidated base is written to a temp dir and
+``os.rename``d into place — the ``seen_full`` directory either exists
+completely or not at all, so a killed compaction can never shadow the deltas
+with a partial base (resume re-runs the compaction idempotently).
+
+Bloom shards are cumulative — only the latest committed round's ``shards/``
+is read. The Bloom spec that built them is recorded in ``meta.json``; a
+resume with a different spec (or with the filter toggled on) must rebuild
+shards from the full seen set, never trust mismatched ones (false negatives
+in the conditional anti-join would silently admit duplicates).
 
 Reading a round always goes through parquet, which also truncates the
 iterative plan lineage: every round's Spark plan has constant size.
@@ -27,12 +44,16 @@ iterative plan lineage: every round's Spark plan has constant size.
 
 from __future__ import annotations
 
+import dataclasses
+import hashlib
 import json
 import os
 import re
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _ROUND_RE = re.compile(r"^round_(\d{6})$")
 
@@ -50,6 +71,11 @@ LINEAGE_SCHEMA = (
     "run_id string, round int, partition_id int, "
     "urls_in bigint, urls_out bigint, bytes_fetched bigint"
 )
+# Domain lifecycle rows (reference: crawl_start/crawl_end stamps + the
+# COMPLETED/IN_PROGRESS gate, /root/reference/graven/db/graven_database.py:188-210).
+DOMAINS_SCHEMA = "host string, status string, start_round int, end_round int"
+
+SEEN_BUCKETS_DEFAULT = 32
 
 
 @dataclass
@@ -57,21 +83,33 @@ class RoundMeta:
     round: int
     priority_base: int
     frontier_count: int
-    seen_compacted: bool = False  # this round dir holds a consolidated seen_full
+    seen_buckets: int = SEEN_BUCKETS_DEFAULT
+    bloom_on: bool = False
+    bloom_buckets: int = 0
+    bloom_bits: int = 0
+    bloom_hashes: int = 0
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
 
     @staticmethod
     def from_json(s: str) -> "RoundMeta":
-        return RoundMeta(**json.loads(s))
+        known = {f.name for f in dataclasses.fields(RoundMeta)}
+        return RoundMeta(**{k: v for k, v in json.loads(s).items() if k in known})
 
 
 class RoundStore:
-    def __init__(self, root: str, compact_every: int = 8):
+    def __init__(self, root: str, compact_every: int = 8,
+                 seen_buckets: int = SEEN_BUCKETS_DEFAULT):
         self.root = root
         self.compact_every = compact_every
+        self.seen_buckets = seen_buckets
         os.makedirs(root, exist_ok=True)
+        # Catalog identifiers for this store's bucketed base tables must be
+        # unique per state dir (tests run many crawls in one session).
+        self._digest = hashlib.md5(
+            os.path.abspath(root).encode("utf-8")
+        ).hexdigest()[:10]
 
     # -- paths ------------------------------------------------------------
     def round_dir(self, k: int) -> str:
@@ -107,6 +145,29 @@ class RoundStore:
     def write(self, k: int, name: str, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self._p(k, name))
 
+    def write_seen_full(self, spark: SparkSession, k: int, seen: DataFrame) -> None:
+        """Write the consolidated seen base: bucketed + sorted by url, one
+        file per bucket (``repartition(B, url)`` feeds ``bucketBy(B, url)``
+        the same murmur3 pmod), landed via atomic rename. Idempotent."""
+        final = self._p(k, "seen_full")
+        if os.path.exists(final):
+            return
+        tmp = self._p(k, "_seen_full_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp_tbl = f"graven_seen_tmp_{self._digest}_{k:06d}"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        (
+            seen.repartition(self.seen_buckets, F.col("url"))
+            .write.mode("overwrite")
+            .option("path", tmp)
+            .bucketBy(self.seen_buckets, "url")
+            .sortBy("url")
+            .format("parquet")
+            .saveAsTable(tmp_tbl)
+        )
+        spark.sql(f"DROP TABLE {tmp_tbl}")  # external: files survive the drop
+        os.rename(tmp, final)
+
     # -- readers ------------------------------------------------------------
     def _read(self, spark: SparkSession, path: str, schema: str) -> DataFrame:
         return spark.read.schema(schema).parquet(path)
@@ -120,15 +181,60 @@ class RoundStore:
             return None
         return spark.read.parquet(path)
 
+    def read_domains(self, spark: SparkSession, k: int) -> DataFrame:
+        path = self._p(k, "domains")
+        if not os.path.exists(path):
+            return spark.createDataFrame([], DOMAINS_SCHEMA)
+        return self._read(spark, path, DOMAINS_SCHEMA)
+
+    def _base_round(self, upto_k: int) -> int | None:
+        """Newest round ≤ upto_k holding a (complete, atomically-renamed)
+        seen_full base."""
+        for k in range(upto_k, -1, -1):
+            if os.path.exists(self._p(k, "seen_full")):
+                return k
+        return None
+
+    def read_seen_base(self, spark: SparkSession, upto_k: int) -> DataFrame | None:
+        """The bucketed seen base as a catalog table — joins against it read
+        the buckets directly (no Exchange, no Sort on this side). None if no
+        compaction has run yet."""
+        kb = self._base_round(upto_k)
+        if kb is None:
+            return None
+        tbl = f"graven_seen_{self._digest}_{kb:06d}"
+        path = self._p(kb, "seen_full")
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(
+                f"CREATE TABLE {tbl} (url_hash BIGINT, url STRING) "
+                f"USING PARQUET CLUSTERED BY (url) SORTED BY (url) "
+                f"INTO {self.seen_buckets} BUCKETS LOCATION '{path}'"
+            )
+        spark.catalog.refreshTable(tbl)
+        return spark.table(tbl)
+
+    def read_seen_deltas(self, spark: SparkSession, upto_k: int) -> DataFrame | None:
+        """Per-round seen deltas newer than the base (small: bounded by the
+        politeness budget × rounds-since-compaction)."""
+        kb = self._base_round(upto_k)
+        start = 0 if kb is None else kb + 1
+        paths = [
+            self._p(k, "seen_delta")
+            for k in range(start, upto_k + 1)
+            if os.path.exists(self._p(k, "seen_delta"))
+        ]
+        if not paths:
+            return None
+        return spark.read.schema(SEEN_SCHEMA).parquet(*paths)
+
     def _seen_paths(self, upto_k: int) -> list[str]:
         """seen_full at the newest compaction ≤ upto_k, plus deltas after."""
         paths: list[str] = []
+        kb = self._base_round(upto_k)
         base = 0
-        for k in range(upto_k, -1, -1):
-            if os.path.exists(self._p(k, "seen_full")):
-                paths.append(self._p(k, "seen_full"))
-                base = k + 1
-                break
+        if kb is not None:
+            paths.append(self._p(kb, "seen_full"))
+            base = kb + 1
         for k in range(base, upto_k + 1):
             p = self._p(k, "seen_delta")
             if os.path.exists(p):
@@ -139,11 +245,13 @@ class RoundStore:
         return spark.read.schema(SEEN_SCHEMA).parquet(*self._seen_paths(upto_k))
 
     def maybe_compact_seen(self, spark: SparkSession, k: int) -> bool:
-        """Consolidate seen deltas into round k's seen_full when due."""
+        """Consolidate the seen LSM into round k's bucketed seen_full when
+        due. Crash-safe (temp dir + atomic rename) and idempotent."""
         if k == 0 or k % self.compact_every != 0:
             return False
-        seen = self.read_seen(spark, k)
-        seen.write.mode("overwrite").parquet(self._p(k, "seen_full"))
+        if os.path.exists(self._p(k, "seen_full")):
+            return False
+        self.write_seen_full(spark, k, self.read_seen(spark, k))
         return True
 
     def read_union(self, spark: SparkSession, name: str, schema: str, upto_k: int) -> DataFrame:
@@ -153,7 +261,15 @@ class RoundStore:
         return spark.read.schema(schema).parquet(*paths)
 
     def read_results(self, spark: SparkSession, upto_k: int) -> DataFrame:
-        return self.read_union(spark, "results_delta", RESULTS_SCHEMA, upto_k)
+        """Extracted results; if a url was re-processed (--update-jar analog)
+        only the newest round's row survives (max_by over round)."""
+        raw = self.read_union(spark, "results_delta", RESULTS_SCHEMA, upto_k)
+        others = [c for c in raw.columns if c != "url"]
+        return (
+            raw.groupBy("url")
+            .agg(F.max_by(F.struct(*others), F.col("round")).alias("_r"))
+            .select("url", *[f"_r.{c}" for c in others])
+        )
 
     def read_errors(self, spark: SparkSession, upto_k: int) -> DataFrame:
         return self.read_union(spark, "errors_delta", ERRORS_SCHEMA, upto_k)

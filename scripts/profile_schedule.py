@@ -50,7 +50,7 @@ def profile(master: str) -> dict[str, float]:
     selected = flagged.filter(F.col("selected")).drop("selected")
     timed("politeness", selected)
     t0 = time.time()
-    ranked, _ = with_global_rank(selected, "priority", "fifo_rank")
+    ranked, _, _pinned = with_global_rank(selected, "priority", "fifo_rank")
     ranked_n = ranked.count()
     out["rank"] = round(time.time() - t0, 2)
     print(f"  {master} rank: {out['rank']}s (n={ranked_n})", flush=True)

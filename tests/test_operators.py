@@ -91,7 +91,8 @@ def test_gate_robots_prefix(spark):
 
 def test_global_rank_dense_and_ordered(spark):
     df = spark.createDataFrame([(i * 7 % 97,) for i in range(97)], "priority long")
-    ranked, n = with_global_rank(df, "priority", "rnk", num_partitions=5)
+    ranked, n, pinned = with_global_rank(df, "priority", "rnk", num_partitions=5)
     rows = sorted((r.priority, r.rnk) for r in ranked.collect())
     assert n == 97
     assert [r[1] for r in rows] == list(range(97))  # rank == sort position
+    pinned.unpersist()
