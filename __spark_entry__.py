@@ -270,6 +270,54 @@ def q_first_en(spark, sf):  # P8: first english entry per group
     )
 
 
+def q_flatten_grype(spark, sf):  # F9/S11: grype-report nested-array explode
+    # reports fixture constructed deterministically from `part` (FIXTURES §5);
+    # the Spark side genuinely parses the nested JSON (from_json + explode +
+    # CVE-prefix filter, enrich.flatten_grype); the oracle computes the
+    # expected output rows directly.
+    p = _t(spark, sf, "part")
+    k = F.col("p_partkey").cast("string")
+    sev = F.element_at(
+        F.array(F.lit("Critical"), F.lit("High"), F.lit("Medium"), F.lit("Low")),
+        (F.col("p_partkey") % 4 + 1).cast("int"),
+    )
+    id2 = F.when(F.col("p_partkey") % 5 == 0, F.lit("GHSA-xxxx-yyyy")).otherwise(
+        F.concat(F.lit("CVE-2020-"), (F.col("p_partkey") % 1000).cast("string"))
+    )
+    day = F.lpad(((F.col("p_partkey") % 28) + 1).cast("string"), 2, "0")
+    rj = F.concat(
+        F.lit('{"matches":[{"vulnerability":{"id":"CVE-2024-'), k,
+        F.lit('","severity":"'), sev,
+        F.lit('"}},{"vulnerability":{"id":"'), id2,
+        F.lit('","severity":"Low"}}],"descriptor":{"timestamp":"2024-03-'), day,
+        F.lit('T12:00:00"}}'),
+    )
+    reports = p.select(
+        F.concat(F.lit("jar"), k).alias("jar_id"), rj.alias("report_json")
+    )
+    return enrich.flatten_grype(reports)
+
+
+def q_parse_nvd(spark, sf):  # F10/S8: NVD payload parse (first-en, CWE filter)
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 500)
+    k = F.col("c_custkey").cast("string")
+    score_str = F.concat((F.col("c_custkey") % 10).cast("string"), F.lit(".5"))
+    nvd = F.concat(
+        F.lit('{"vulnerabilities":[{"cve":{"id":"CVE-2024-'), k,
+        F.lit('","descriptions":[{"lang":"fr","value":"desc-fr"},'
+              '{"lang":"en","value":"desc-'), k,
+        F.lit('"}],"metrics":{"cvssMetricV31":[{"cvssData":{"baseScore":'), score_str,
+        F.lit('}}]},"weaknesses":[{"description":[{"value":"CWE-'),
+        (F.col("c_custkey") % 100).cast("string"),
+        F.lit('"},{"value":"NVD-CWE-noinfo"}]}]}}]}'),
+    )
+    out = enrich.parse_nvd(c.select(nvd.alias("nvd_json")))
+    return out.select(
+        "cve_id", "description_en", "base_score",
+        F.array_join("cwes", ",").alias("cwe_list"),
+    )
+
+
 def q_posexplode_order(spark, sf):  # W1: document-order explode with index
     d = _t(spark, sf, "documents")
     first3 = F.slice(F.split("text", " "), 1, 3)
@@ -288,7 +336,9 @@ def q_dedup_exact(spark, sf):
 
 def q_dedup_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return textops.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    # the skew cap (stop-shingle df filter) is the default AND expressed in
+    # the oracle SQL — the benched query is the shipped query
+    return textops.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_shingle_df=1000)
 
 
 def q_dedup_minhash_lsh(spark, sf):
@@ -332,17 +382,176 @@ def q_embed_ann_lsh(spark, sf):
     return simsearch.lsh_bucketed_topk(e, _query_vec(spark, sf), k=10, n_planes=6)
 
 
-# -- non-SQL-expressible (rows-only checks) ----------------------------------
+_SRP_IDX: dict[str, str] = {}
+
+
+def _srp_index_path(spark, sf) -> str:
+    """Materialize the partitioned SRP index once per sf dir (the 100-TB
+    shape: queries prune to their probed buckets' partitions)."""
+    if sf not in _SRP_IDX:
+        path = tempfile.mkdtemp(prefix="graven_srp_idx_")
+        e = _t(spark, sf, "embeddings")
+        dim = len(_query_vec(spark, sf))
+        simsearch.write_srp_index(e, path, dim=dim, n_planes=6)
+        _SRP_IDX[sf] = path
+    return _SRP_IDX[sf]
+
+
+def q_embed_ann_multiprobe(spark, sf):
+    qv = _query_vec(spark, sf)
+    return simsearch.ann_topk_indexed(
+        spark, _srp_index_path(spark, sf), qv, k=10, n_planes=6
+    )
+
+
+# -- crawl-output queries (oracled by the pure-Python reference oracle:
+#    the crawl graph is deterministic, so the expected rows are emitted as a
+#    VALUES literal computed by graven_spark.oracle — the same single-threaded
+#    reference-faithful implementation the replay tests pin the engine to) ----
+
+_CRAWL_CACHE: dict[str, object] = {}
+
+
+def _cached_smoke_crawl(spark):
+    if "smoke" not in _CRAWL_CACHE:
+        graph = synth.generate_graph(synth.mini_specs())
+        workdir = tempfile.mkdtemp(prefix="graven_q_")
+        _CRAWL_CACHE["smoke"] = _run_crawl(spark, graph, workdir)
+    return _CRAWL_CACHE["smoke"]
+
+
+def _pages_dict_pd(pages_pd):
+    return {
+        r.url: {"html": r.html, "warc_ts": r.warc_ts.to_pydatetime(), "lang": r.lang}
+        for r in pages_pd.itertuples()
+    }
+
+
+def _robots_dict_pd(robots_pd):
+    return {
+        r.host: {
+            "disallow_prefixes": list(r.disallow_prefixes),
+            "crawl_delay_tokens": int(r.crawl_delay_tokens),
+        }
+        for r in robots_pd.itertuples()
+    }
+
+
+def _smoke_oracle_run(max_retries: int = 0, with_robots: bool = True):
+    from graven_spark.oracle import crawl_oracle
+
+    key = f"ora_{max_retries}_{with_robots}"
+    if key not in _CRAWL_CACHE:
+        graph = synth.generate_graph(synth.mini_specs())
+        _CRAWL_CACHE[key] = crawl_oracle(
+            _pages_dict_pd(graph.pages),
+            list(graph.seeds.sort_values("seed_rank")["url"]),
+            _robots_dict_pd(graph.robots) if with_robots else None,
+            max_retries=max_retries,
+        )
+    return _CRAWL_CACHE[key]
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
 
 def q_media_features(spark, sf):
     return extract_features(synth_media(spark, 64)).drop("feature")
 
 
 def q_crawl_smoke(spark, sf):
-    graph = synth.generate_graph(synth.smoke_specs())
-    workdir = tempfile.mkdtemp(prefix="graven_q_")
-    out = _run_crawl(spark, graph, workdir)
-    return out.results(spark).select("url", "depth", "round", "text")
+    out = _cached_smoke_crawl(spark)
+    return out.results(spark).select(
+        "url",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("round").cast("long").alias("round"),
+        "text",
+    )
+
+
+def q_crawl_retry(spark, sf):  # U4: requeue-on-failure error multiset
+    graph = synth.generate_graph(synth.mini_specs())
+    workdir = tempfile.mkdtemp(prefix="graven_retry_")
+    pages_path = os.path.join(workdir, "pages.parquet")
+    graph.pages.to_parquet(pages_path, index=False)
+    seeds = spark.createDataFrame(graph.seeds)
+    from graven_spark.plans.driver import crawl
+
+    cfg = CrawlConfig(
+        use_bloom=True, bloom=BloomSpec(n_buckets=8, bits_per_shard=1 << 16),
+        max_retries=2,
+    )
+    out = crawl(spark, pages_path, seeds, None, os.path.join(workdir, "state"), cfg)
+    return out.errors(spark).select(
+        F.col("round").cast("long").alias("round"), "url", "stage", "reason"
+    )
+
+
+def q_domain_lifecycle(spark, sf):  # crawl_start/crawl_end + COMPLETED gate
+    out = _cached_smoke_crawl(spark)
+    return out.domains(spark).select(
+        "host",
+        "status",
+        F.col("start_round").cast("long").alias("start_round"),
+        F.col("end_round").cast("long").alias("end_round"),
+    )
+
+
+def _crawl_smoke_sql() -> str:
+    run = _smoke_oracle_run()
+    vals = ", ".join(
+        f"('{_sq(r['url'])}', {r['depth']}, {r['round']}, '{_sq(r['text'])}')"
+        for r in run.results
+    )
+    return (
+        "SELECT url, CAST(depth AS BIGINT) AS depth, CAST(round AS BIGINT) AS round, "
+        f"text FROM (VALUES {vals}) AS t(url, depth, round, text)"
+    )
+
+
+def _crawl_retry_sql() -> str:
+    run = _smoke_oracle_run(max_retries=2, with_robots=False)
+    vals = ", ".join(
+        f"({e['round']}, '{_sq(e['url'])}', '{e['stage']}', '{e['reason']}')"
+        for e in run.errors
+    )
+    return (
+        "SELECT CAST(round AS BIGINT) AS round, url, stage, reason "
+        f"FROM (VALUES {vals}) AS t(round, url, stage, reason)"
+    )
+
+
+def _domain_lifecycle_sql() -> str:
+    from graven_spark.oracle import domains_oracle
+
+    doms = domains_oracle(_smoke_oracle_run())
+    vals = ", ".join(
+        f"('{_sq(h)}', '{status}', {start}, "
+        f"{'NULL' if end is None else end})"
+        for h, (status, start, end) in sorted(doms.items())
+    )
+    return (
+        "SELECT host, status, CAST(start_round AS BIGINT) AS start_round, "
+        "CAST(end_round AS BIGINT) AS end_round "
+        f"FROM (VALUES {vals}) AS t(host, status, start_round, end_round)"
+    )
+
+
+def _media_features_sql() -> str:
+    from graven_spark.sources.multimodal import feature_row, media_rows
+
+    vals = []
+    for mid, kind, payload, *_rest in media_rows(64):
+        _vec, nb, mean, ent = feature_row(payload)
+        vals.append(f"({mid}, '{kind}', {nb}, {mean!r}, {ent!r})")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, kind, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, CAST(byte_mean AS DOUBLE) AS byte_mean, "
+        "CAST(byte_entropy AS DOUBLE) AS byte_entropy "
+        f"FROM (VALUES {', '.join(vals)}) "
+        "AS t(media_id, kind, n_bytes, byte_mean, byte_entropy)"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -379,8 +588,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
+        "embed_ann_multiprobe": q_embed_ann_multiprobe,
+        "flatten_grype": q_flatten_grype,
+        "parse_nvd": q_parse_nvd,
         "media_features": q_media_features,
         "crawl_smoke": q_crawl_smoke,
+        "crawl_retry": q_crawl_retry,
+        "domain_lifecycle": q_domain_lifecycle,
     }
 
 
@@ -435,7 +649,7 @@ def _simhash_sql() -> str:
     )
 
 
-def _ann_sql() -> str:
+def _ann_sql(multiprobe: bool = False) -> str:
     n_planes = 6
     dim = 64
     def bucket_expr(vec: str) -> str:
@@ -449,10 +663,20 @@ def _ann_sql() -> str:
             )
         return "(" + " + ".join(terms) + ")"
 
+    if multiprobe:
+        # query bucket + all Hamming-1 neighbors: xor of the two bucket ids
+        # is 0 or a single set bit
+        hamming1 = [0] + [1 << p for p in range(n_planes)]
+        cond = (
+            f"list_contains({hamming1}, "
+            f"xor({bucket_expr('e.embedding')}, {bucket_expr('q.embedding')}))"
+        )
+    else:
+        cond = f"{bucket_expr('e.embedding')} = {bucket_expr('q.embedding')}"
     return (
         "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), "
         "cand AS (SELECT e.vec_id, e.embedding, q.embedding AS qv FROM embeddings e, q "
-        f"WHERE {bucket_expr('e.embedding')} = {bucket_expr('q.embedding')}) "
+        f"WHERE {cond}) "
         "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
         "CAST(qv AS DOUBLE[])), 4) AS cos_sim FROM cand "
         "ORDER BY cos_sim DESC, vec_id LIMIT 10"
@@ -566,7 +790,11 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_dups FROM documents GROUP BY md5(text)"
         ),
         "dedup_ngram_jaccard": (
-            f"WITH sh AS ({_SHINGLES}), "
+            # the skew cap mirrors the Spark default: shingles with document
+            # frequency > 1000 are dropped before the self-join
+            f"WITH sh0 AS ({_SHINGLES}), "
+            "sh AS (SELECT * FROM sh0 WHERE shingle NOT IN "
+            "(SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000)), "
             "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
             "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common "
             "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
@@ -611,4 +839,27 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
         ),
         "embed_ann_lsh": _ann_sql(),
+        "embed_ann_multiprobe": _ann_sql(multiprobe=True),
+        "flatten_grype": (
+            "WITH p AS (SELECT p_partkey AS k FROM part), "
+            "r1 AS (SELECT concat('jar', k) AS jar_id, concat('CVE-2024-', k) AS vuln_id, "
+            "['Critical','High','Medium','Low'][CAST(k % 4 AS INT) + 1] AS severity, k FROM p), "
+            "r2 AS (SELECT concat('jar', k) AS jar_id, concat('CVE-2020-', k % 1000) AS vuln_id, "
+            "'Low' AS severity, k FROM p WHERE k % 5 <> 0), "
+            "allr AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2) "
+            "SELECT jar_id, vuln_id, severity, "
+            "strptime(concat('2024-03-', lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0'), "
+            "' 12:00:00'), '%Y-%m-%d %H:%M:%S') AS scan_ts FROM allr"
+        ),
+        "parse_nvd": (
+            "SELECT concat('CVE-2024-', c_custkey) AS cve_id, "
+            "concat('desc-', c_custkey) AS description_en, "
+            "CAST(c_custkey % 10 AS DOUBLE) + 0.5 AS base_score, "
+            "concat('CWE-', c_custkey % 100) AS cwe_list "
+            "FROM customer WHERE c_custkey <= 500"
+        ),
+        "media_features": _media_features_sql(),
+        "crawl_smoke": _crawl_smoke_sql(),
+        "crawl_retry": _crawl_retry_sql(),
+        "domain_lifecycle": _domain_lifecycle_sql(),
     }

@@ -37,6 +37,19 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return hist / total
 
 
+def feature_row(payload: bytes, decode: Callable[[bytes], np.ndarray] | None = None):
+    """(vec, n_bytes, byte_mean, byte_entropy) for one payload — the single
+    definition both the Arrow UDF and the DuckDB-oracle generator use, so
+    the CORRECTNESS hash compares bit-identical doubles."""
+    decode = decode or _fake_decode
+    vec = decode(payload)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    p = vec[vec > 0]
+    mean = round(float(arr.mean()) if len(arr) else 0.0, 6)
+    ent = round(float(-(p * np.log2(p)).sum()) if len(p) else 0.0, 6)
+    return vec.astype(np.float32), len(payload), mean, ent
+
+
 def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes], np.ndarray] | None = None,
@@ -60,20 +73,18 @@ def extract_features(
         for pdf in batches:
             feats, n_bytes, means, ents = [], [], [], []
             for payload in pdf["payload"]:
-                vec = decode(payload)
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                p = vec[vec > 0]
-                feats.append(vec.astype(np.float32))
-                n_bytes.append(len(payload))
-                means.append(float(arr.mean()) if len(arr) else 0.0)
-                ents.append(float(-(p * np.log2(p)).sum()) if len(p) else 0.0)
+                vec, nb, mean, ent = feature_row(payload, decode)
+                feats.append(vec)
+                n_bytes.append(nb)
+                means.append(mean)
+                ents.append(ent)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": n_bytes,
-                    "byte_mean": [round(m, 6) for m in means],
-                    "byte_entropy": [round(e, 6) for e in ents],
+                    "byte_mean": means,
+                    "byte_entropy": ents,
                     "feature": feats,
                 }
             )
@@ -81,9 +92,10 @@ def extract_features(
     return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
-def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (binary payload derived from
-    the id — no external data)."""
+def media_rows(n: int = 64) -> list[tuple]:
+    """Deterministic fake media rows (binary payload derived from the id —
+    no external data). Pure Python so the DuckDB oracle can regenerate the
+    identical payloads."""
     import hashlib
 
     rows = []
@@ -95,4 +107,9 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             (i, kinds[i % 3], payload, f"application/x-fake-{kinds[i % 3]}",
              64 + i % 128, 64 + (i * 3) % 128, 1000 + i * 10)
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests."""
+    return spark.createDataFrame(media_rows(n), MEDIA_SCHEMA)

@@ -48,6 +48,14 @@ class SiteSpec:
     dead_dir_every: int = 7  # every Nth dir link points at a missing page
     dead_leaf_every: int = 11
     dup_link_every: int = 5  # every Nth dir also links a grandchild directly
+    # Every Nth dir page anchors its ANCESTOR (the site root) by absolute
+    # URL — FIXTURES.md's "cycles (dir linking to ancestor)". Under the
+    # reference's concat absolutization (crawler.py:74,80) the anchor
+    # resolves to parent+href — a URL with no pages row — so the back-edge
+    # collapses to a dead-link error row; the seen-set dedup is what
+    # guarantees the crawl still terminates and fetches no URL twice
+    # (asserted in tests/test_crawl_replay.py).
+    cycle_every: int = 6
     scheme: str = "https"
 
     @property
@@ -133,6 +141,10 @@ def generate_site(
             # another parent also links — same URL reachable from 2+ parents.
             if depth + 2 <= spec.depth and counter % spec.dup_link_every == 0:
                 child_dirs.append("d%ds0/d%ds0/" % (depth, depth + 1))
+            # Ancestor back-edge (cycle in the logical link graph).
+            if depth >= 1 and spec.cycle_every and counter % spec.cycle_every == 0:
+                child_dirs.append(spec.root)
+                dead.append(url + spec.root)
         for i in range(spec.leaf_fanout):
             counter += 1
             name = f"art{depth}x{i}-1.{counter % 10}.jar"
@@ -165,6 +177,17 @@ def _page_row(url: str, html: str) -> dict:
 def smoke_specs() -> list[SiteSpec]:
     """t1 smoke: 1 host, ~200 pages."""
     return [SiteSpec("host0.example.com", depth=3, dir_fanout=3, leaf_fanout=2)]
+
+
+def mini_specs() -> list[SiteSpec]:
+    """3 small hosts of different depths — staggered per-host completion
+    rounds for the domain-lifecycle checks, fast enough for per-round
+    CORRECTNESS queries."""
+    return [
+        SiteSpec("host0.example.com", depth=3, dir_fanout=2, leaf_fanout=2),
+        SiteSpec("host1.example.com", depth=2, dir_fanout=2, leaf_fanout=2),
+        SiteSpec("host2.example.com", depth=1, dir_fanout=2, leaf_fanout=1),
+    ]
 
 
 def correctness_specs() -> list[SiteSpec]:
