@@ -270,6 +270,14 @@ def q_first_en(spark, sf):  # P8: first english entry per group
     )
 
 
+def q_duration_format(spark, sf):  # F8: elapsed seconds → hh:mm:ss
+    from graven_spark.functions.duration import format_hms
+
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 500)
+    secs = (F.col("event_id") * 37) % 100000
+    return e.select("event_id", format_hms(secs).alias("hms"))
+
+
 def q_flatten_grype(spark, sf):  # F9/S11: grype-report nested-array explode
     # reports fixture constructed deterministically from `part` (FIXTURES §5);
     # the Spark side genuinely parses the nested JSON (from_json + explode +
@@ -589,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_multiprobe": q_embed_ann_multiprobe,
+        "duration_format": q_duration_format,
         "flatten_grype": q_flatten_grype,
         "parse_nvd": q_parse_nvd,
         "media_features": q_media_features,
@@ -840,6 +849,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embed_ann_lsh": _ann_sql(),
         "embed_ann_multiprobe": _ann_sql(multiprobe=True),
+        "duration_format": (
+            "SELECT event_id, printf('%02d:%02d:%02d', "
+            "(event_id * 37 % 100000) // 3600, "
+            "(event_id * 37 % 100000) % 3600 // 60, "
+            "(event_id * 37 % 100000) % 60) AS hms "
+            "FROM events WHERE event_id < 500"
+        ),
         "flatten_grype": (
             "WITH p AS (SELECT p_partkey AS k FROM part), "
             "r1 AS (SELECT concat('jar', k) AS jar_id, concat('CVE-2024-', k) AS vuln_id, "

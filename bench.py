@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from graven_spark.operators.bloom import BloomSpec, build_shards  # noqa: E402
-from graven_spark.operators.dedup import admit_new, first_occurrence  # noqa: E402
+from graven_spark.operators.dedup import admit_new  # noqa: E402
 from graven_spark.operators.politeness import select_round  # noqa: E402
 from graven_spark.operators.ranking import with_global_rank  # noqa: E402
 from graven_spark.functions.canon import host_of, url_hash  # noqa: E402
@@ -236,11 +236,10 @@ def schedule_job(spark, pages_ref: str, seen_ref: str, shards_path: str,
         (F.col("fifo_rank") * (1 << 20) + F.col("discovery_idx")).alias("priority"),
         F.col("link.is_dir").alias("is_dir"),
     ).withColumn("host", host_of(F.col("url")))
-    cand = first_occurrence(cand)
     seen = spark.read.parquet(seen_ref) if os.sep in seen_ref else spark.table(seen_ref)
     shards = spark.read.parquet(shards_path)
     bcs: list = []
-    new = admit_new(cand, seen, shards, BLOOM, track=bcs)
+    new = admit_new(cand, seen, shards, BLOOM, track=bcs, dedup_first=True)
     n = new.count()
     pinned.unpersist()
     for bc in bcs:  # one broadcast per trial would otherwise accumulate

@@ -101,6 +101,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     spark = build_session(app_name=f"graven_spark_{args.cmd}")
+    import time
+
+    from .functions.duration import format_hms_py
+
+    t0 = time.time()
 
     if args.cmd == "crawl":
         cfg = CrawlConfig(
@@ -124,7 +129,8 @@ def main(argv: list[str] | None = None) -> int:
         lineage.show(1000, truncate=False)
         out.domains(spark).orderBy("host").show(100, truncate=False)
         print(f"rounds={out.final_round} seen={out.seen(spark).count()} "
-              f"results={out.results(spark).count()}")
+              f"results={out.results(spark).count()} "
+              f"elapsed={format_hms_py(time.time() - t0)}")
     else:
         from .sources.checkpoint import RoundStore
 

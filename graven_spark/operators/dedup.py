@@ -47,6 +47,7 @@ def admit_new(
     spec: BloomSpec | None = None,
     broadcast_limit: int = BLOOM_BROADCAST_LIMIT,
     track: list | None = None,
+    dedup_first: bool = False,
 ) -> DataFrame:
     """Rows of ``candidates`` whose url is in no part of ``seen``.
 
@@ -66,13 +67,21 @@ def admit_new(
     given, collects broadcast handles for the caller to destroy after its
     actions complete.
 
+    ``dedup_first=True`` folds the within-batch first-occurrence dedup INTO
+    the admission: probe → first_occurrence → anti-joins. The probe must run
+    *before* the aggregate (``maybe_seen`` is a pure function of url, so the
+    result is identical) because an ArrowEvalPython node between the
+    aggregate and the join hides the aggregate's url-partitioning from
+    EnsureRequirements — probing after dedup costs a redundant full
+    candidate re-shuffle (measured: 3 exchanges vs 2, PLANS.md).
+
     Correctness never depends on the shards (bloom-positive ⇒ exact check);
     it does require the shards to cover the whole seen set — a missing or
     stale shard's false *negative* would skip the exact check. RoundMeta
     records the spec so resume rebuilds on mismatch (frontier.py)."""
     parts = [seen] if isinstance(seen, DataFrame) else list(seen or [])
     if shards is None:
-        out = candidates
+        out = first_occurrence(candidates) if dedup_first else candidates
         for p in parts:
             out = out.join(p.select("url"), "url", "left_anti")
         return out
@@ -81,6 +90,8 @@ def admit_new(
         probed = probe_cogrouped(candidates, shards, spec)
     else:
         probed = probe(candidates, shards, spec, track=track)
+    if dedup_first:
+        probed = first_occurrence(probed)
     if not parts:
         return probed.drop("maybe_seen")
     out = probed

@@ -272,10 +272,13 @@ def run_round(
     ).withColumn("host", host_of(F.col("url")))
 
     cand = gate_robots(cand, robots)
-    cand = first_occurrence(cand)  # within-batch FIFO first-occurrence dedup
+    # probe → within-batch FIFO first-occurrence dedup → exact anti-joins;
+    # dedup_first keeps the aggregate's url-partitioning visible to the
+    # joins (one candidate shuffle total — see admit_new docstring)
     new = admit_new(
         cand, seen_parts, shards, cfg.bloom,
         broadcast_limit=cfg.bloom_broadcast_limit, track=bloom_bcs,
+        dedup_first=True,
     ).persist()
 
     new_dirs = (

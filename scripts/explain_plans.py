@@ -28,6 +28,7 @@ from graven_spark.session import build_session
 from graven_spark.sources import synth
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "PLANS.md")
+EXTRA_CHECKS: list[tuple[str, bool]] = []
 
 
 def formatted(df) -> str:
@@ -86,10 +87,76 @@ def main() -> None:
         "Admission (first-occurrence dedup → bloom probe → single anti-join)",
         formatted(adm),
         # static plan shows SMJ; AQE converts to broadcast at runtime when the
-        # seen side is small. min+min_by still needs a SortAggregate (struct
-        # result buffer) but sorts only (key, order, packed-struct) rows.
-        ["LeftAnti", "LeftAnti"],
+        # seen side is small. min/min_by buffers aren't hash-agg capable, so
+        # first_occurrence compiles to SortAggregate BY DESIGN (measured
+        # cheapest vs min_by(struct) and vs agg+semi-join-back, which would
+        # run the Arrow explode twice — see dedup.first_occurrence docstring).
+        ["LeftAnti", "SortAggregate"],
     ))
+
+    # 3b. ENGINE-PATH admission: a real crawl state (RoundStore with a
+    # compacted bucketed seen_full) — the anti-join's seen side must read the
+    # bucketed base with NO Exchange and NO Sort. This is the shipped loop,
+    # not a bench-only table layout.
+    from graven_spark.plans.driver import crawl
+    from graven_spark.plans.frontier import CrawlConfig
+
+    seeds = spark.createDataFrame(graph.seeds)
+    cfg = CrawlConfig(use_bloom=True, bloom=spec, compact_every=3, seen_buckets=4)
+    out = crawl(spark, pages_path, seeds, None, os.path.join(tmp, "state"), cfg)
+    store, kf = out.store, out.final_round
+    base = store.read_seen_base(spark, kf)
+    deltas = store.read_seen_deltas(spark, kf)
+    assert base is not None, "compaction must have produced a bucketed base"
+    assert deltas is not None, "state must hold post-compaction deltas"
+    cand2 = (
+        spark.read.parquet(pages_path).select("url")
+        .withColumn("priority", url_hash(F.col("url")))
+        .withColumn("host", host_of(F.col("url")))
+    )
+    # At sandbox sizes AQE rightly broadcasts the tiny base (bucketing then
+    # "disabled by query planner"). The audit pins the SCALE plan — the one
+    # a 10^10-row base gets — by ruling out auto-broadcast for this section.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    eng = admit_new(
+        cand2,
+        [base, deltas],
+        store.read_shards(spark, kf),
+        spec,
+        dedup_first=True,
+    )
+    eng_plan = formatted(eng)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    n_exchanges = len([ln for ln in eng_plan.splitlines() if ") Exchange" in ln])
+    seen_scan_ok = "Bucketed: true" in eng_plan and "SelectedBucketsCount" in eng_plan
+    # Expected data movement in the WHOLE admission plan: exactly TWO
+    # Exchanges — (1) the candidate set's hash shuffle on url feeding the
+    # first-occurrence SortAggregate, whose url-partitioning AND sort order
+    # both anti-joins then REUSE (zero exchange AND zero sort on the bucketed
+    # seen base side, no candidate re-shuffle), and (2) the small
+    # post-compaction delta side.
+    tree = eng_plan.split("\n\n(1)")[0].splitlines()
+    scan_idx = next(
+        i for i, ln in enumerate(tree) if "Scan parquet spark_catalog" in ln
+    )
+    indent = tree[scan_idx].index("+-")
+    parent = next(
+        ln for ln in reversed(tree[:scan_idx])
+        if ("+-" in ln and ln.index("+-") < indent) or (":-" in ln and ln.index(":-") < indent)
+    )
+    extra = [
+        ("engine admission: bucketed base scan (Bucketed: true + SelectedBucketsCount)", seen_scan_ok),
+        (f"engine admission: exactly 2 Exchanges (candidate agg + delta side); got {n_exchanges}", n_exchanges == 2),
+        (f"engine admission: base scan's parent is the join, not a Sort (got `{parent.strip()}`)",
+         "Sort" not in parent),
+    ]
+    sections.append((
+        "ENGINE admission (RoundStore bucketed seen_full base + deltas)",
+        eng_plan,
+        ["LeftAnti", "Bucketed: true", "SelectedBucketsCount"],
+    ))
+    global EXTRA_CHECKS
+    EXTRA_CHECKS = extra
 
     # 4. politeness threshold selection
     robots = spark.createDataFrame(
@@ -129,6 +196,12 @@ def main() -> None:
             hit = c in plan
             ok = ok and hit
             lines.append(f"- {'✅' if hit else '❌'} contains `{c}`")
+        lines.append("")
+    if EXTRA_CHECKS:
+        lines.append("## Structural checks (engine-path admission)\n")
+        for desc, hit in EXTRA_CHECKS:
+            ok = ok and hit
+            lines.append(f"- {'✅' if hit else '❌'} {desc}")
         lines.append("")
     with open(OUT, "w") as f:
         f.write("\n".join(lines))
