@@ -263,11 +263,14 @@ def prepare_seen(spark, pages_path: str, workdir: str, times: int = 1) -> tuple[
     return seen_path, shards_path
 
 
-def full_crawl(spark, cache: str, workdir: str) -> dict:
+def full_crawl(spark, cache: str, workdir: str, warm: bool = True) -> dict:
     seeds = spark.createDataFrame(
         __import__("pandas").read_parquet(os.path.join(cache, "seeds.parquet"))
     )
     cfg = CrawlConfig(use_bloom=True, bloom=BLOOM, compact_every=4)
+    if warm:  # first run pays JIT + Python-worker + catalog cold start
+        crawl(spark, os.path.join(cache, "pages"), seeds, None,
+              os.path.join(workdir, "state_warm"), cfg)
     t0 = time.time()
     out = crawl(spark, os.path.join(cache, "pages"), seeds, None,
                 os.path.join(workdir, "state"), cfg)
@@ -431,10 +434,15 @@ def main() -> None:
     spark = scale_session(f"local[{cpus}]", wh, "bench_main")
     shards_b = os.path.join(wh, "shards")
     robots_b = os.path.join(SCALE_CACHE_DIR, "robots.parquet")
+    # warm once, then best-of-3: the shared box's capacity drifts ±20% over
+    # minutes, so a single timed run conflates code and host noise
     schedule_job(spark, "pages_b", "seen_b", shards_b, robots_path=robots_b)
-    t0 = time.time()
-    n_new = schedule_job(spark, "pages_b", "seen_b", shards_b, robots_path=robots_b)
-    sched_sec = time.time() - t0
+    sched_secs = []
+    for _ in range(3):
+        t0 = time.time()
+        n_new = schedule_job(spark, "pages_b", "seen_b", shards_b, robots_path=robots_b)
+        sched_secs.append(time.time() - t0)
+    sched_sec = min(sched_secs)
 
     cache = ensure_bench_graph(spark)
 

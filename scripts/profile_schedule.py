@@ -68,12 +68,12 @@ def profile(master: str) -> dict[str, float]:
         F.col("link.is_dir").alias("is_dir"),
     ).withColumn("host", host_of(F.col("url")))
     timed("explode_cand", cand)
-    deduped = first_occurrence(cand)
-    timed("dedup", deduped)
+    timed("dedup", first_occurrence(cand))
     seen = spark.read.parquet(seen_path)
     shards = spark.read.parquet(shards_path)
-    timed("admit", admit_new(deduped, seen, shards, bench.BLOOM))
-    timed("admit_exact_only", admit_new(deduped, seen))
+    # engine shape: probe → dedup → anti-join in one admission call
+    timed("admit", admit_new(cand, seen, shards, bench.BLOOM, dedup_first=True))
+    timed("admit_exact_only", admit_new(cand, seen, dedup_first=True))
     spark.stop()
     return out
 
