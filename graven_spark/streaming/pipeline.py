@@ -46,6 +46,42 @@ def windowed_rates(pages_stream: DataFrame, window: str = "1 hour") -> DataFrame
     )
 
 
+def stream_host_budget(pages_stream: DataFrame, budget: int) -> DataFrame:
+    """Custom stateful operator (north_rule: "applyInPandasWithState for
+    custom stateful operators"): per-host fetch-budget enforcement whose
+    token count PERSISTS ACROSS MICRO-BATCHES — the streaming form of the
+    batch token bucket (operators/politeness.py W3). State per host is one
+    long (tokens consumed); each batch admits rows in (warc_ts, url) order
+    until the host's lifetime budget is exhausted and emits
+    (url, host, warc_ts). At scale state is hash-partitioned by host and
+    checkpointed by the engine — no driver residency."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def admit(key, pdfs, state: GroupState):
+        taken = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if taken >= budget:
+                break
+            pdf = pdf.sort_values(["warc_ts", "url"]).head(max(budget - taken, 0))
+            taken += len(pdf)
+            if len(pdf):
+                yield pdf[["url", "host", "warc_ts"]]
+        state.update((taken,))
+
+    return (
+        pages_stream.select("url", "host", "warc_ts")
+        .groupBy("host")
+        .applyInPandasWithState(
+            admit,
+            outputStructType="url string, host string, warc_ts timestamp",
+            stateStructType="taken long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(spark: SparkSession, df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming query to completion over the currently-available
     files (test/smoke harness) and return the collected sink table."""
