@@ -495,9 +495,11 @@ BASELINE.json requires ≥0.8 throughput scaling efficiency from N to 4N
 executors at a 10^10-URL frontier. No real cluster exists in this sandbox,
 so per the driver instructions we run the **identical frontier-scheduling
 job** (per-host politeness token buckets → JVM-only analytic global FIFO
-rank → bucketed fetch join → Arrow link extraction → first-occurrence dedup
-→ Bloom broadcast-probe + single-pass conditional anti-join vs a pre-seeded
-~30%-full bucketed seen table) on the **same input**
+rank → bucketed fetch join → Arrow link extraction → Bloom broadcast-probe
+→ first-occurrence dedup → single-pass conditional anti-join vs a
+pre-seeded ~30%-full bucketed seen table; the probe runs before the dedup
+aggregate so the aggregate's url-partitioning feeds the join directly —
+one candidate shuffle total) on the **same input**
 ({any_res['pages']:,} synthetic pages: a ~1M-page / 128-host graph
 host-replicated {times}× and materialized as a parquet table bucketed by
 url into 32 buckets, one heavily skewed host) at multiple parallelism
@@ -539,6 +541,15 @@ ceiling does NOT exist between separate executor machines on a real
 cluster, where N→4N adds private cores, caches and memory buses. The
 4 → 16 pairing stays inside the region where vCPUs map to distinct
 physical cores and is the sandbox's faithful analog of N→4N executors.
+
+## Engine-store parity
+
+The bench tables above share their layout with the ENGINE's own state store:
+`RoundStore` compaction writes the seen base `bucketBy(B, url).sortBy(url)`
+(one file per bucket, atomic rename) and the per-round admission anti-join
+reads it through the catalog with zero Exchange and zero Sort on the seen
+side — PLANS.md §"ENGINE admission" asserts this from a real crawl state,
+so the benched shape IS the shipped crawl loop, not a bench-only layout.
 
 ## Why the plan itself scales
 
