@@ -47,7 +47,9 @@ def gate_robots(candidates: DataFrame, robots: DataFrame | None, url_col: str = 
     if robots is None:
         return candidates
     rules = robots.select("host", "disallow_prefixes")
-    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    from ..functions.canon import path_of
+
+    path = path_of(F.col(url_col))
     blocked = F.exists(
         F.coalesce(F.col("disallow_prefixes"), F.array()),
         lambda p: path.startswith(p),
