@@ -116,3 +116,40 @@ def test_oracle_invariants(g):
         e["url"] for e in run.errors if e["stage"] == "download"
     }
     assert got_leaves >= {u for u in reachable_leaves}
+
+
+@given(graphs(), st.integers(0, 3))
+@settings(max_examples=25, deadline=None)
+def test_retry_invariants(g, max_retries):
+    """U4 requeue: every dead dir URL is attempted exactly max_retries+1
+    times (one error row per attempt), retry_count never exceeds the cap and
+    is non-decreasing per URL, the requeued row keeps its original priority,
+    and the crawl still terminates (bounded retries)."""
+    tree, budget = g
+    host = "h.example.com"
+    pages = _mk_pages(tree, host)
+    robots = {host: {"disallow_prefixes": [], "crawl_delay_tokens": budget}}
+    run = crawl_oracle(
+        pages, [f"https://{host}/r"], robots, max_retries=max_retries
+    )
+
+    from collections import Counter
+
+    dead_attempts = Counter(
+        e["url"] for e in run.errors
+        if e["stage"] == "crawler" and e["reason"] == "fetch_failed"
+    )
+    for url, n in dead_attempts.items():
+        assert n == max_retries + 1, url
+
+    prio: dict[str, int] = {}
+    last_rc: dict[str, int] = {}
+    for snap in run.frontier_snapshots:
+        for r in snap:
+            assert 0 <= r.retry_count <= max_retries
+            assert prio.setdefault(r.url, r.priority) == r.priority
+            assert last_rc.get(r.url, 0) <= r.retry_count
+            last_rc[r.url] = r.retry_count
+    # a retry actually happened when the graph has a dead dir and retries on
+    if max_retries and dead_attempts:
+        assert max(last_rc.values()) == max_retries
