@@ -93,6 +93,7 @@ def _reopen_domains(
     seen_next = purged.unionByName(_seen_delta(reseed))
     next_frontier = store.read_frontier(spark, k).unionByName(reseed)
     store.write(k + 1, "frontier", next_frontier)
+    store.mark_updated()  # the re-crawl re-emits result rows for purged urls
     store.write_seen_full(spark, k + 1, seen_next)
     if cfg.use_bloom:
         store.write(k + 1, "shards", build_shards(store.read_seen(spark, k + 1), cfg.bloom))
@@ -147,6 +148,7 @@ def _update_urls(
     frontier = store.read_frontier(spark, k)
     store.write(k + 1, "frontier", frontier)
     store.write(k + 1, "results_delta", refreshed)
+    store.mark_updated()
     store.write(k + 1, "domains", store.read_domains(spark, k))
     shards = store.read_shards(spark, k)
     if shards is not None:

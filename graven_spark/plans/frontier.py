@@ -119,13 +119,15 @@ def _domains_step(
 
 def validated_shards(
     spark: SparkSession, store: RoundStore, meta: RoundMeta, cfg: CrawlConfig, k: int
-) -> DataFrame | None:
+) -> tuple[DataFrame | None, bool]:
     """Round k's Bloom shards, rebuilt from the full seen set when they are
     missing or were built with a different spec (a mismatched shard's false
     negative would skip the exact check and admit a duplicate — the spec is
-    part of the checkpoint contract, recorded in RoundMeta)."""
+    part of the checkpoint contract, recorded in RoundMeta). Returns
+    ``(shards, rebuilt)`` — a rebuild must be persisted as a new FULL shard
+    baseline, since the stored delta chain carries the old spec."""
     if not cfg.use_bloom:
-        return None
+        return None, False
     spec_ok = (
         meta.bloom_on
         and meta.bloom_buckets == cfg.bloom.n_buckets
@@ -134,8 +136,8 @@ def validated_shards(
     )
     shards = store.read_shards(spark, k) if spec_ok else None
     if shards is None:
-        shards = build_shards(store.read_seen(spark, k), cfg.bloom)
-    return shards
+        return build_shards(store.read_seen(spark, k), cfg.bloom), True
+    return shards, False
 
 
 def init_run(
@@ -201,7 +203,7 @@ def run_round(
     seen_base = store.read_seen_base(spark, k)
     seen_deltas = store.read_seen_deltas(spark, k)
     seen_parts = [p for p in (seen_base, seen_deltas) if p is not None]
-    shards = validated_shards(spark, store, meta, cfg, k)
+    shards, shards_rebuilt = validated_shards(spark, store, meta, cfg, k)
     bloom_bcs: list = []
 
     # -- politeness selection (W3/T3) --------------------------------------
@@ -351,9 +353,17 @@ def run_round(
         _domains_step(store.read_domains(spark, k), next_frontier, k + 1),
     )
     if cfg.use_bloom:
+        # LSM shards: per-round writes are DELTAS (O(new urls) bytes, not
+        # O(total filter) — a 10^10-URL filter is tens of GB); a full merged
+        # baseline is re-materialized only at compaction cadence or after a
+        # spec-change rebuild.
         delta = build_shards(new, cfg.bloom)
-        shards_next = merge_shards(shards, delta) if shards is not None else delta
-        store.write(k + 1, "shards", shards_next)
+        full_due = shards_rebuilt or shards is None or (k + 1) % cfg.compact_every == 0
+        if full_due:
+            shards_next = merge_shards(shards, delta) if shards is not None else delta
+            store.write(k + 1, "shards", shards_next)
+        else:
+            store.write(k + 1, "shards_delta", delta)
 
     next_meta = RoundMeta(
         round=k + 1,

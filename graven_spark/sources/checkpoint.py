@@ -176,10 +176,28 @@ class RoundStore:
         return self._read(spark, self._p(k, "frontier"), FRONTIER_SCHEMA)
 
     def read_shards(self, spark: SparkSession, k: int) -> DataFrame | None:
-        path = self._p(k, "shards")
-        if not os.path.exists(path):
+        """Bloom shards at round k: the newest FULL shard set ≤ k OR'd with
+        the per-round shard deltas after it (the same LSM shape as the seen
+        set — a full rewrite of a tens-of-GB filter every round would be
+        pure write amplification at a 10^10-URL frontier). The merge is one
+        tiny groupBy over (generations × buckets) rows."""
+        full_k = None
+        for j in range(k, -1, -1):
+            if os.path.exists(self._p(j, "shards")):
+                full_k = j
+                break
+        if full_k is None:
             return None
-        return spark.read.parquet(path)
+        parts = [spark.read.parquet(self._p(full_k, "shards"))]
+        for j in range(full_k + 1, k + 1):
+            p = self._p(j, "shards_delta")
+            if os.path.exists(p):
+                parts.append(spark.read.parquet(p))
+        if len(parts) == 1:
+            return parts[0]
+        from ..operators.bloom import merge_shards
+
+        return merge_shards(*parts)
 
     def read_domains(self, spark: SparkSession, k: int) -> DataFrame:
         path = self._p(k, "domains")
@@ -260,10 +278,20 @@ class RoundStore:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
 
+    def mark_updated(self) -> None:
+        """Record that an update-mode round re-wrote result urls (read path
+        must dedup from then on)."""
+        with open(os.path.join(self.root, "_UPDATED"), "w") as f:
+            f.write("ok")
+
     def read_results(self, spark: SparkSession, upto_k: int) -> DataFrame:
-        """Extracted results; if a url was re-processed (--update-jar analog)
-        only the newest round's row survives (max_by over round)."""
+        """Extracted results. In a normal crawl every url appears exactly
+        once (the seen set guarantees it) → plain union scan, no shuffle.
+        After an --update-jar re-process round (``_UPDATED`` marker) the
+        newest round's row per url wins (max_by over round)."""
         raw = self.read_union(spark, "results_delta", RESULTS_SCHEMA, upto_k)
+        if not os.path.exists(os.path.join(self.root, "_UPDATED")):
+            return raw
         others = [c for c in raw.columns if c != "url"]
         return (
             raw.groupBy("url")
