@@ -326,6 +326,14 @@ def q_parse_nvd(spark, sf):  # F10/S8: NVD payload parse (first-en, CWE filter)
     )
 
 
+def q_nvd_lookup(spark, sf):  # S8: batch enrichment lookup with miss rows
+    requested = q_flatten_grype(spark, sf).select(F.col("vuln_id").alias("cve_id"))
+    ref = q_parse_nvd(spark, sf)
+    return enrich.nvd_batch_lookup(requested, ref).withColumn(
+        "found", F.col("found").cast("int")
+    )
+
+
 def q_posexplode_order(spark, sf):  # W1: document-order explode with index
     d = _t(spark, sf, "documents")
     first3 = F.slice(F.split("text", " "), 1, 3)
@@ -599,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_multiprobe": q_embed_ann_multiprobe,
         "duration_format": q_duration_format,
         "flatten_grype": q_flatten_grype,
+        "nvd_lookup": q_nvd_lookup,
         "parse_nvd": q_parse_nvd,
         "media_features": q_media_features,
         "crawl_smoke": q_crawl_smoke,
@@ -873,6 +882,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(c_custkey % 10 AS DOUBLE) + 0.5 AS base_score, "
             "concat('CWE-', c_custkey % 100) AS cwe_list "
             "FROM customer WHERE c_custkey <= 500"
+        ),
+        "nvd_lookup": (
+            "WITH req AS ("
+            "SELECT concat('CVE-2024-', p_partkey) AS cve_id FROM part "
+            "UNION "
+            "SELECT concat('CVE-2020-', p_partkey % 1000) FROM part WHERE p_partkey % 5 <> 0), "
+            "ref AS (SELECT concat('CVE-2024-', c_custkey) AS cve_id, "
+            "concat('desc-', c_custkey) AS description_en, "
+            "CAST(c_custkey % 10 AS DOUBLE) + 0.5 AS base_score, "
+            "concat('CWE-', c_custkey % 100) AS cwe_list "
+            "FROM customer WHERE c_custkey <= 500) "
+            "SELECT r.cve_id, ref.description_en, ref.base_score, ref.cwe_list, "
+            "CAST(ref.description_en IS NOT NULL AS INT) AS found "
+            "FROM req r LEFT JOIN ref USING (cve_id)"
         ),
         "media_features": _media_features_sql(),
         "crawl_smoke": _crawl_smoke_sql(),

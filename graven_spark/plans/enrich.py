@@ -190,6 +190,27 @@ NVD_SCHEMA = T.StructType(
 )
 
 
+def nvd_batch_lookup(requested: DataFrame, cve_ref: DataFrame) -> DataFrame:
+    """Batch enrichment lookup — the reference's NVD REST fetch loop
+    (/root/reference/graven/worker/vuln_fetcher.py:111-146: take the CVE ids
+    discovered by the analyzer, query the reference source, record hits and
+    log misses) as one set-oriented join:
+
+    distinct requested ids ⋈ cve_ref(cve_id, description_en, base_score,
+    cwes) LEFT → one row per requested id with ``found`` flag (misses keep
+    null enrichment columns — the 404/no-data analog, vuln_fetcher.py:120).
+
+    Scale: the id side is preserved (misses must survive), so it cannot be
+    the broadcast-probe side of an outer hash join — the join clusters both
+    sides on cve_id instead. With cve_ref stored bucketed by cve_id (same
+    layout as the seen base) the big reference side joins with no Exchange;
+    at small ref sizes AQE broadcasts the ref itself."""
+    ids = requested.select("cve_id").distinct()
+    return ids.join(cve_ref, "cve_id", "left").withColumn(
+        "found", F.col("description_en").isNotNull()
+    )
+
+
 def parse_nvd(nvd_json: DataFrame, json_col: str = "nvd_json") -> DataFrame:
     """NVD payload → (cve_id, description_en, base_score, cwes)
     (vuln_fetcher.py:131-146): first english description, first v3.1 base
