@@ -334,6 +334,24 @@ def q_nvd_lookup(spark, sf):  # S8: batch enrichment lookup with miss rows
     )
 
 
+def q_cwe_page_parse(spark, sf):  # S9: MITRE CWE page scrape shape
+    n = _t(spark, sf, "nation")
+    k = F.col("n_nationkey").cast("string")
+    cwe_id = F.concat(F.lit("CWE-"), k)
+    # every 3rd page: Abstract div instead of Description; every 5th: no h2
+    h2 = F.when(F.col("n_nationkey") % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("<h2>CWE-"), k, F.lit(": Weak "), F.col("n_name"), F.lit("</h2>"))
+    )
+    body = F.when(
+        F.col("n_nationkey") % 3 == 0,
+        F.concat(F.lit('<div id="Abstract">Abstract for '), k, F.lit("</div>")),
+    ).otherwise(
+        F.concat(F.lit('<div id="Description">Description about '), k, F.lit("</div>")),
+    )
+    pages = n.select(cwe_id.alias("cwe_id"), F.concat(h2, body).alias("html"))
+    return enrich.parse_cwe_page(pages)
+
+
 def q_posexplode_order(spark, sf):  # W1: document-order explode with index
     d = _t(spark, sf, "documents")
     first3 = F.slice(F.split("text", " "), 1, 3)
@@ -608,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duration_format": q_duration_format,
         "flatten_grype": q_flatten_grype,
         "nvd_lookup": q_nvd_lookup,
+        "cwe_page_parse": q_cwe_page_parse,
         "parse_nvd": q_parse_nvd,
         "media_features": q_media_features,
         "crawl_smoke": q_crawl_smoke,
@@ -896,6 +915,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.cve_id, ref.description_en, ref.base_score, ref.cwe_list, "
             "CAST(ref.description_en IS NOT NULL AS INT) AS found "
             "FROM req r LEFT JOIN ref USING (cve_id)"
+        ),
+        "cwe_page_parse": (
+            "SELECT concat('CWE-', n_nationkey) AS cwe_id, "
+            "CASE WHEN n_nationkey % 5 = 0 THEN NULL "
+            "ELSE concat('Weak ', n_name) END AS cwe_name, "
+            "CASE WHEN n_nationkey % 3 = 0 THEN concat('Abstract for ', n_nationkey) "
+            "ELSE concat(' about ', n_nationkey) END AS cwe_description, "
+            "concat('https://cwe.mitre.org/data/definitions/', n_nationkey, '.html') AS link "
+            "FROM nation"
         ),
         "media_features": _media_features_sql(),
         "crawl_smoke": _crawl_smoke_sql(),

@@ -190,6 +190,45 @@ NVD_SCHEMA = T.StructType(
 )
 
 
+MITRE_CWE_ROOT = "https://cwe.mitre.org/data/definitions"
+
+
+def parse_cwe_page(pages: DataFrame, cwe_col: str = "cwe_id", html_col: str = "html") -> DataFrame:
+    """MITRE CWE page parse (S9; reference
+    /root/reference/graven/worker/vuln_fetcher.py:256-289): the first
+    ``<h2>`` minus the ``CWE-N: `` prefix → name (NULL when absent),
+    ``<div id="Description">`` with ``id="Abstract"`` fallback minus the
+    leading ``Description`` label → description, plus the definition URL
+    built from the numeric id. Pure Catalyst regexp — fixture pages are
+    single-level markup; swap in an Arrow UDF extractor for arbitrarily
+    nested real pages."""
+    html = F.col(html_col)
+    h2 = F.regexp_extract(html, "<h2>(.*?)</h2>", 1)
+    prefix = F.concat(F.upper(F.col(cwe_col)), F.lit(": "))
+    name = F.when(h2 == "", F.lit(None).cast("string")).otherwise(
+        F.when(h2.startswith(prefix), h2.substr(F.length(prefix) + 1, F.length(h2)))
+        .otherwise(h2)
+    )
+    desc_raw = F.regexp_extract(html, '<div id="Description">(.*?)</div>', 1)
+    abstract = F.regexp_extract(html, '<div id="Abstract">(.*?)</div>', 1)
+    picked = F.when(desc_raw != "", desc_raw).otherwise(abstract)
+    desc = F.when(picked == "", F.lit(None).cast("string")).otherwise(
+        F.when(picked.startswith("Description"),
+               picked.substr(F.lit(12), F.length(picked))).otherwise(picked)
+    )
+    link = F.concat(
+        F.lit(MITRE_CWE_ROOT + "/"),
+        F.element_at(F.split(F.col(cwe_col), "-"), 2),
+        F.lit(".html"),
+    )
+    return pages.select(
+        F.col(cwe_col),
+        name.alias("cwe_name"),
+        desc.alias("cwe_description"),
+        link.alias("link"),
+    )
+
+
 def nvd_batch_lookup(requested: DataFrame, cve_ref: DataFrame) -> DataFrame:
     """Batch enrichment lookup — the reference's NVD REST fetch loop
     (/root/reference/graven/worker/vuln_fetcher.py:111-146: take the CVE ids
