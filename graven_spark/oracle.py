@@ -194,7 +194,11 @@ def domains_oracle(run: OracleRun) -> dict[str, tuple[str, int, int | None]]:
     """Fold the frontier snapshots into the expected domain-lifecycle table:
     host → (status, start_round, end_round). A host is IN_PROGRESS while
     present in the frontier; its first absence stamps COMPLETED/end_round;
-    re-discovery re-opens it (frontier.py:_domains_step)."""
+    re-discovery re-opens it (frontier.py:_domains_step).
+
+    Assumes the crawl ran to frontier exhaustion (the trailing empty state);
+    for a max_rounds-truncated run compare against the engine's domains at
+    the truncation round instead."""
     states = [{r.host for r in snap} for snap in run.frontier_snapshots]
     states.append(set())  # the final committed state dir holds the empty frontier
     out: dict[str, tuple[str, int, int | None]] = {}

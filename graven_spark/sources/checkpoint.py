@@ -216,17 +216,23 @@ class RoundStore:
     def read_seen_base(self, spark: SparkSession, upto_k: int) -> DataFrame | None:
         """The bucketed seen base as a catalog table — joins against it read
         the buckets directly (no Exchange, no Sort on this side). None if no
-        compaction has run yet."""
+        compaction has run yet.
+
+        The declared bucket count MUST be the one the base was written with
+        (that round's RoundMeta), never the current config: declaring B'≠B
+        over B-bucket files would mis-partition the join and silently drop
+        anti-join matches on a resume with a changed --seen-buckets."""
         kb = self._base_round(upto_k)
         if kb is None:
             return None
+        buckets = self.meta(kb).seen_buckets
         tbl = f"graven_seen_{self._digest}_{kb:06d}"
         path = self._p(kb, "seen_full")
         if not spark.catalog.tableExists(tbl):
             spark.sql(
                 f"CREATE TABLE {tbl} (url_hash BIGINT, url STRING) "
                 f"USING PARQUET CLUSTERED BY (url) SORTED BY (url) "
-                f"INTO {self.seen_buckets} BUCKETS LOCATION '{path}'"
+                f"INTO {buckets} BUCKETS LOCATION '{path}'"
             )
         spark.catalog.refreshTable(tbl)
         return spark.table(tbl)

@@ -145,6 +145,28 @@ def test_resume_with_changed_bloom_spec(spark, smoke_graph, tmp_path):
     assert sorted(r.url for r in out2.seen(spark).collect()) == want_seen
 
 
+def test_resume_with_changed_seen_buckets(spark, smoke_graph, tmp_path):
+    """The bucketed base must be read with the bucket count it was WRITTEN
+    with (RoundMeta), not the resuming config's — declaring B'≠B over
+    B-bucket files would silently break the anti-join co-partitioning and
+    admit already-seen URLs."""
+    pages_path = str(tmp_path / "pages.parquet")
+    smoke_graph.pages.to_parquet(pages_path, index=False)
+    seeds = spark.createDataFrame(smoke_graph.seeds)
+
+    def cfg(buckets, max_rounds=1000):
+        return CrawlConfig(use_bloom=True, bloom=_bloom(), compact_every=2,
+                           seen_buckets=buckets, max_rounds=max_rounds)
+
+    full = crawl(spark, pages_path, seeds, None, str(tmp_path / "full"), cfg(4))
+    want = sorted(r.url for r in full.seen(spark).collect())
+
+    d = str(tmp_path / "resume")
+    crawl(spark, pages_path, seeds, None, d, cfg(4, max_rounds=3))  # base @2: 4 buckets
+    out = crawl(spark, pages_path, seeds, None, d, cfg(8))  # resume: 8 buckets
+    assert sorted(r.url for r in out.seen(spark).collect()) == want
+
+
 # -- crash-safe compaction ------------------------------------------------------
 
 def test_partial_compaction_tmp_is_ignored(spark, smoke_graph, tmp_path):
