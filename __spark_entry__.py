@@ -118,6 +118,19 @@ def q_politeness_topk(spark, sf):  # W3/T4: per-host budget = top-k per group
     )
 
 
+def q_politeness_bytes(spark, sf):  # §4.2.3: byte-cost token bucket
+    from graven_spark.operators.politeness import select_round_bytes
+
+    e = _t(spark, sf, "events")
+    fr = e.select(
+        F.col("event_id").cast("long").alias("priority"),
+        F.col("user_id").cast("string").alias("host"),
+        ((F.col("event_id") % 97) + 1).cast("long").alias("est_bytes"),
+    )
+    sel = select_round_bytes(fr, byte_budget=200, min_row_bytes=1)
+    return sel.filter(F.col("selected")).select("host", "priority", "est_bytes")
+
+
 def q_claim_first(spark, sf):  # W4/T1: deterministic LIMIT-1 claim per key
     from pyspark.sql.window import Window
 
@@ -595,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_join_broadcast": q_fetch_join_broadcast,
         "union_dedup_seen": q_union_dedup_seen,
         "politeness_topk": q_politeness_topk,
+        "politeness_bytes": q_politeness_bytes,
         "claim_first": q_claim_first,
         "global_topk": q_global_topk,
         "lineage_rollup": q_lineage_rollup,
@@ -745,6 +759,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, "
             "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
             "FROM events) WHERE rn <= 3"
+        ),
+        "politeness_bytes": (
+            "WITH fr AS (SELECT CAST(event_id AS BIGINT) AS priority, "
+            "CAST(user_id AS VARCHAR) AS host, "
+            "CAST(event_id % 97 + 1 AS BIGINT) AS est_bytes FROM events), "
+            "c AS (SELECT *, sum(est_bytes) OVER (PARTITION BY host ORDER BY priority "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "row_number() OVER (PARTITION BY host ORDER BY priority) AS rn FROM fr) "
+            "SELECT host, priority, est_bytes FROM c WHERE cum <= 200 OR rn = 1"
         ),
         "claim_first": (
             "SELECT o_custkey, o_orderkey, o_orderdate FROM (SELECT o_custkey, o_orderkey, "

@@ -110,6 +110,62 @@ def host_thresholds(
     return thr_big.unionByName(none_hosts)
 
 
+def select_round_bytes(
+    frontier: DataFrame,
+    byte_budget: int,
+    bytes_col: str = "est_bytes",
+    min_row_bytes: int | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Byte-cost token bucket (SURVEY.md §4.2.3 — the case the count-based
+    window CANNOT express): per host, admit rows in priority order while the
+    cumulative ``bytes_col`` stays ≤ ``byte_budget``; the first row is always
+    admitted (progress guarantee — a single oversized page must not starve
+    its host forever). Returns the frontier + ``selected``.
+
+    Scale shape mirrors :func:`select_round`: hosts whose TOTAL bytes fit
+    the budget are selected by one map-side-combinable sum (no further
+    work); only over-budget hosts' rows reach the per-host sequential
+    cumsum in ``groupBy(host).applyInPandas``, which emits one threshold row
+    per host — the frontier gets its flag from a broadcast threshold join,
+    never a full-row shuffle. When ``min_row_bytes`` is known, over-budget
+    hosts' rows are first pruned by a salted window to
+    ``n_salts × (ceil(budget/min_row_bytes)+1)`` rows (a hot host's 10^7
+    rows never reach the Python worker)."""
+    cols = frontier.columns
+    sums = frontier.groupBy("host").agg(F.sum(F.col(bytes_col)).alias("_tot"))
+    over = sums.filter(F.col("_tot") > byte_budget).select("host")
+    big = frontier.select("host", "priority", bytes_col).join(F.broadcast(over), "host")
+    if min_row_bytes:
+        # the admitted prefix holds ≤ ceil(budget/min)+1 rows, so keeping
+        # that many per (host, salt) slice provably preserves every admitted
+        # row (same argument as the count-budget prune above)
+        cap = -(-byte_budget // min_row_bytes) + 1  # ceil + progress row
+        salt = F.pmod(F.xxhash64("priority"), F.lit(n_salts))
+        w = Window.partitionBy(F.col("host"), salt).orderBy("priority")
+        big = big.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= cap
+        ).drop("_rn")
+
+    def cum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("priority")
+        ok = pdf[bytes_col].cumsum() <= byte_budget
+        ok.iloc[0] = True  # progress guarantee
+        return pd.DataFrame(
+            {"host": [pdf["host"].iloc[0]], "_thr": [int(pdf["priority"][ok].max())]}
+        )
+
+    thr = big.groupBy("host").applyInPandas(cum, "host string, _thr long")
+    return (
+        frontier.join(F.broadcast(thr), "host", "left")
+        .withColumn(
+            "selected",
+            F.col("priority") <= F.coalesce(F.col("_thr"), F.lit(_MAX_PRIO)),
+        )
+        .select(*cols, "selected")
+    )
+
+
 def select_round(
     frontier: DataFrame,
     robots: DataFrame | None,

@@ -94,6 +94,37 @@ def test_budget_zero_selects_nothing(spark):
     assert len(sel) == 3
 
 
+def test_select_round_bytes(spark):
+    from graven_spark.operators.politeness import select_round_bytes
+
+    rows = []
+    for h in range(3):
+        for i in range(20):
+            rows.append((f"h{h}", h * 100 + i, 7 + (i * 13) % 40))
+    rows.append(("big", 999, 10_000))  # oversized first row: progress row
+    fr = spark.createDataFrame(rows, "host string, priority long, est_bytes long")
+
+    def sel_set(df):
+        return {(r.host, r.priority) for r in df.filter(F.col("selected")).collect()}
+
+    a = sel_set(select_round_bytes(fr, byte_budget=100))
+    b = sel_set(select_round_bytes(fr, byte_budget=100, min_row_bytes=7))
+    assert a == b  # salted prune is a pure optimization
+    assert ("big", 999) in a  # progress guarantee
+    # per-host: admitted = maximal prefix with cumsum <= budget (min 1 row)
+    for h in range(3):
+        prefix = [(f"h{h}", h * 100 + i) for i in range(20)]
+        byts = [7 + (i * 13) % 40 for i in range(20)]
+        cum, want = 0, set()
+        for (key, b_) in zip(prefix, byts):
+            cum += b_
+            if cum <= 100 or not want:
+                want.add(key)
+            else:
+                break
+        assert {k for k in a if k[0] == f"h{h}"} == want
+
+
 # -- Bloom probe auto-selection ----------------------------------------------
 
 def test_admit_new_probe_paths_agree(spark):
