@@ -936,7 +936,7 @@ def oracle_sql() -> dict[str, str]:
             "concat('CWE-', c_custkey % 100) AS cwe_list "
             "FROM customer WHERE c_custkey <= 500) "
             "SELECT r.cve_id, ref.description_en, ref.base_score, ref.cwe_list, "
-            "CAST(ref.description_en IS NOT NULL AS INT) AS found "
+            "CAST(ref.cve_id IS NOT NULL AS INT) AS found "
             "FROM req r LEFT JOIN ref USING (cve_id)"
         ),
         "cwe_page_parse": (

@@ -49,23 +49,34 @@ def read_seeds(spark: SparkSession, path: str):
     )
 
 
-def export_archive(results, out: str, kind: str) -> int:
+def export_archive(results, out: str, kind: str) -> tuple[int, int]:
     """Write results as JSON parts (distributed), then package the parts
-    into one archive on the driver (deterministic member order)."""
+    into one archive on the driver (deterministic member order). Returns
+    (n_members, n_rows) — counted from the parts, so the results plan runs
+    exactly once. The staging dir is removed afterwards."""
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="graven_export_")
-    results.write.mode("overwrite").json(tmp)
-    parts = sorted(
-        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".json")
-    )
-    if kind == "zip":
-        with zipfile.ZipFile(out, "w", compression=zipfile.ZIP_DEFLATED) as z:
-            for i, f in enumerate(parts):
-                z.write(os.path.join(tmp, f), arcname=f"results-{i:05d}.json")
-    else:
-        with tarfile.open(out, "w:gz") as t:
-            for i, f in enumerate(parts):
-                t.add(os.path.join(tmp, f), arcname=f"results-{i:05d}.json")
-    return len(parts)
+    try:
+        results.write.mode("overwrite").json(tmp)
+        parts = sorted(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".json")
+        )
+        n_rows = 0
+        for f in parts:
+            with open(os.path.join(tmp, f), "rb") as fh:
+                n_rows += sum(1 for ln in fh if ln.strip())
+        if kind == "zip":
+            with zipfile.ZipFile(out, "w", compression=zipfile.ZIP_DEFLATED) as z:
+                for i, f in enumerate(parts):
+                    z.write(os.path.join(tmp, f), arcname=f"results-{i:05d}.json")
+        else:
+            with tarfile.open(out, "w:gz") as t:
+                for i, f in enumerate(parts):
+                    t.add(os.path.join(tmp, f), arcname=f"results-{i:05d}.json")
+        return len(parts), n_rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -78,7 +89,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--state", required=True, help="checkpoint/state directory")
     c.add_argument("--robots", default=None, help="robots rules parquet")
     c.add_argument("--budget", type=int, default=None,
-                   help="default per-host per-round budget (0 = select nothing)")
+                   help="default per-host per-round budget; 0 selects nothing "
+                        "for a host, so a crawl whose every pending host has "
+                        "budget 0 fails fast (no progress is possible)")
     c.add_argument("--max-rounds", type=int, default=1000)
     c.add_argument("--max-retries", type=int, default=0,
                    help="requeue failed dir fetches up to N times (U4)")
@@ -141,8 +154,10 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         results = store.read_results(spark, k)
         if args.format in ("zip", "tar.gz"):
-            n = export_archive(results, args.out, "zip" if args.format == "zip" else "tar")
-            print(f"exported {results.count()} rows in {n} members → {args.out}")
+            n, n_rows = export_archive(
+                results, args.out, "zip" if args.format == "zip" else "tar"
+            )
+            print(f"exported {n_rows} rows in {n} members → {args.out}")
         else:
             writer = results.write.mode("overwrite")
             (writer.json(args.out) if args.format == "json" else writer.parquet(args.out))

@@ -23,21 +23,30 @@ def first_occurrence(candidates: DataFrame, key: str = "url", order: str = "prio
     """Within-batch dedup keeping the smallest ``order`` row per ``key`` —
     the FIFO first-occurrence the reference's serial seen-probe produces.
 
-    One ``min(order)`` + scalar ``min_by(col, order)`` per carried column:
+    One ``min(order)`` + a row-atomic ``min_by(struct(others), order)``:
     a single map-side-combinable aggregate — one shuffle, no window, no
-    join-back. Physical operator: **SortAggregate** (measured; min/min_by
-    buffers over string columns aren't hash-agg capable), i.e. each side of
-    the exchange sorts its partition before combining. Measured against the
-    alternatives at 200k rows × 5k keys: scalar min_by 0.24s,
+    join-back. The struct keeps the result a REAL input row even when
+    ``order`` values tie (per-column scalar min_bys could stitch a torn row
+    from two tied candidates, nondeterministically — engine priorities are
+    unique, but this operator's contract doesn't get to assume that).
+    Physical operator: **SortAggregate** (measured; min/min_by buffers over
+    string/struct types aren't hash-agg capable), i.e. each side of the
+    exchange sorts its partition before combining. Measured alternatives at
+    200k rows × 5k keys: scalar min_bys 0.24s (torn-row hazard),
     min_by(struct) 0.30s, min(priority)+shuffled-hash semi-join-back 0.31s —
-    and the semi-join variant executes the upstream (the Arrow link-extract
-    explode) twice. The partial sort is the documented, cheapest option;
-    PLANS.md asserts SortAggregate as the *intended* operator."""
+    the semi-join variant also executes the upstream (the Arrow link-extract
+    explode) twice. The partial sort is the documented, cheapest-safe
+    option; PLANS.md asserts SortAggregate as the *intended* operator."""
     others = [c for c in candidates.columns if c not in (key, order)]
-    aggs = [F.min(F.col(order)).alias(order)] + [
-        F.min_by(F.col(c), F.col(order)).alias(c) for c in others
-    ]
-    return candidates.groupBy(key).agg(*aggs)
+    aggs = [F.min(F.col(order)).alias(order)]
+    if others:
+        aggs.append(
+            F.min_by(F.struct(*[F.col(c) for c in others]), F.col(order)).alias("_r")
+        )
+    out = candidates.groupBy(key).agg(*aggs)
+    if others:
+        out = out.select(key, order, *[f"_r.{c}" for c in others])
+    return out
 
 
 def admit_new(

@@ -110,6 +110,14 @@ def crawl_oracle(
                 selected.append(row)
             else:
                 deferred.append(row)
+        if not selected:
+            # every pending host has budget ≤ 0: no progress is possible —
+            # fail fast exactly like the engine (frontier.py run_round)
+            # instead of spinning max_rounds no-op rounds
+            raise RuntimeError(
+                "frontier non-empty but nothing selected — politeness "
+                "budget must be ≥ 1 per active host"
+            )
 
         new_dirs: list[FrontierRow] = []
         retries: list[FrontierRow] = []

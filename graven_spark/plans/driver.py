@@ -65,13 +65,20 @@ def _reopen_domains(
     store: RoundStore,
     k: int,
     seeds: DataFrame,
+    robots: DataFrame | None,
     cfg: CrawlConfig,
 ) -> RoundMeta:
     """One committed round transition k → k+1 that re-opens
     ``cfg.update_domains``: purged seen base + rebuilt shards + re-seeded
-    roots + IN_PROGRESS domain stamps."""
+    roots + IN_PROGRESS domain stamps. Re-seeding applies the same robots
+    gate and first-occurrence dedup as init_run — a blocked or duplicated
+    seed must not slip in through the update path."""
+    from ..operators.dedup import first_occurrence
+    from ..operators.politeness import gate_robots
+
     hosts = cfg.update_domains
     meta = store.meta(k)
+    store.clean_uncommitted(k + 1)
     reseed = (
         seeds.select(
             canonicalize(F.col("url")).alias("url"),
@@ -83,8 +90,8 @@ def _reopen_domains(
         .withColumn("parent_url", F.lit(None).cast("string"))
         .withColumn("discovery_idx", F.col("priority").cast("int"))
         .withColumn("retry_count", F.lit(0))
-        .select(*FRONTIER_COLS)
     )
+    reseed = first_occurrence(gate_robots(reseed, robots)).select(*FRONTIER_COLS)
     purged = store.read_seen(spark, k).filter(
         ~host_of(F.col("url")).isin(hosts)
     )
@@ -130,13 +137,16 @@ def _update_urls(
     url's depth/publish_ts are carried from the prior row, round is
     re-stamped — read_results keeps the newest row per url)."""
     meta = store.meta(k)
+    store.clean_uncommitted(k + 1)
     targets = (
         store.read_results(spark, k)
         .filter(F.col("url").startswith(cfg.update_url_prefix))
         .select("url", "depth", "publish_ts")
     )
+    # no broadcast hint: the prefix can match an unbounded share of results
+    # (unlike the budget-bounded round sets) — AQE broadcasts iff small
     pages = spark.read.parquet(pages_path).select("url", "warc_ts", "html", "lang")
-    refreshed = pages.join(F.broadcast(targets), "url", "inner").select(
+    refreshed = pages.join(targets, "url", "inner").select(
         "url",
         "warc_ts",
         extract_text(F.col("html")).alias("text"),
@@ -184,7 +194,7 @@ def crawl(
     else:
         meta = store.meta(k)
         if cfg.update_domains:
-            meta = _reopen_domains(spark, store, k, seeds, cfg)
+            meta = _reopen_domains(spark, store, k, seeds, robots, cfg)
             k = meta.round
         if cfg.update_url_prefix:
             meta = _update_urls(spark, store, k, pages_path, cfg)

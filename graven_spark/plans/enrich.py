@@ -245,8 +245,12 @@ def nvd_batch_lookup(requested: DataFrame, cve_ref: DataFrame) -> DataFrame:
     layout as the seen base) the big reference side joins with no Exchange;
     at small ref sizes AQE broadcasts the ref itself."""
     ids = requested.select("cve_id").distinct()
-    return ids.join(cve_ref, "cve_id", "left").withColumn(
-        "found", F.col("description_en").isNotNull()
+    hit = cve_ref.withColumn("_hit", F.lit(True))
+    return (
+        ids.join(hit, "cve_id", "left")
+        .withColumn("found", F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_hit")  # presence marker, NOT description nullability — a
+        # real CVE with no English description is still a hit
     )
 
 

@@ -198,6 +198,8 @@ def run_round(
     k: int,
 ) -> RoundMeta:
     """Execute round k (state in round_k/) and commit round_{k+1}/."""
+    store.clean_uncommitted(k + 1)  # a crashed prior attempt (or aborted
+    # update transition) may have left stale artifacts we must not commit around
     meta = store.meta(k)
     frontier = store.read_frontier(spark, k)
     seen_base = store.read_seen_base(spark, k)

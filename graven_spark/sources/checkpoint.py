@@ -131,6 +131,16 @@ class RoundStore:
         rounds = self.committed_rounds()
         return rounds[-1] if rounds else None
 
+    def clean_uncommitted(self, k: int) -> None:
+        """Remove a round dir that never reached its commit marker — a
+        crashed writer may have left ANY subset of the round's artifacts
+        (including a complete-looking seen_full from an aborted update
+        transition); re-running the round must not commit around stale
+        state."""
+        d = self.round_dir(k)
+        if os.path.exists(d) and not os.path.exists(os.path.join(d, "_COMMIT")):
+            shutil.rmtree(d)
+
     def commit(self, k: int, meta: RoundMeta) -> None:
         with open(self._p(k, "meta.json"), "w") as f:
             f.write(meta.to_json())
@@ -228,6 +238,10 @@ class RoundStore:
         buckets = self.meta(kb).seen_buckets
         tbl = f"graven_seen_{self._digest}_{kb:06d}"
         path = self._p(kb, "seen_full")
+        if not any(re.search(r"_\d{5}\.", f) for f in os.listdir(path)):
+            # a seen_full written by a non-bucketed writer (older layout):
+            # still a correct seen base, just joins with an Exchange
+            return spark.read.schema(SEEN_SCHEMA).parquet(path)
         if not spark.catalog.tableExists(tbl):
             spark.sql(
                 f"CREATE TABLE {tbl} (url_hash BIGINT, url STRING) "

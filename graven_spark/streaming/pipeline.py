@@ -60,14 +60,16 @@ def stream_host_budget(pages_stream: DataFrame, budget: int) -> DataFrame:
 
     def admit(key, pdfs, state: GroupState):
         taken = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if taken >= budget:
-                break
-            pdf = pdf.sort_values(["warc_ts", "url"]).head(max(budget - taken, 0))
-            taken += len(pdf)
-            if len(pdf):
-                yield pdf[["url", "host", "warc_ts"]]
+        # a host's micro-batch may arrive as several Arrow chunks: the
+        # (warc_ts, url) order must be established over the WHOLE batch
+        # before budgeting, or a later chunk's earlier rows lose their slot.
+        # Memory bound: one host's rows for one micro-batch.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["warc_ts", "url"]).head(max(budget - taken, 0))
+        taken += len(pdf)
         state.update((taken,))
+        if len(pdf):
+            yield pdf[["url", "host", "warc_ts"]]
 
     return (
         pages_stream.select("url", "host", "warc_ts")
