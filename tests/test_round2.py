@@ -225,6 +225,32 @@ def test_partial_compaction_tmp_is_ignored(spark, smoke_graph, tmp_path):
     shutil.rmtree(junk, ignore_errors=True)
 
 
+def test_uncommitted_seen_full_swept_on_resume(spark, smoke_graph, tmp_path):
+    """A crash mid-update-transition leaves an uncommitted round dir holding
+    a complete-looking (purged!) seen_full; re-running the round must sweep
+    it — committing around it would silently shadow the real seen set."""
+    pages_path = str(tmp_path / "pages.parquet")
+    smoke_graph.pages.to_parquet(pages_path, index=False)
+    seeds = spark.createDataFrame(smoke_graph.seeds)
+    cfg = CrawlConfig(use_bloom=True, bloom=_bloom())
+
+    d = str(tmp_path / "state")
+    crawl(spark, pages_path, seeds, None, d, CrawlConfig(
+        use_bloom=True, bloom=_bloom(), max_rounds=2))
+    # fake the aborted transition: an uncommitted round_3 with a bogus base
+    bogus = os.path.join(d, "round_000003", "seen_full")
+    os.makedirs(bogus, exist_ok=True)
+    spark.createDataFrame(
+        [(0, "https://bogus.example.com/")], "url_hash long, url string"
+    ).repartition(1).write.mode("overwrite").parquet(bogus)
+
+    resumed = crawl(spark, pages_path, seeds, None, d, cfg)
+    full = crawl(spark, pages_path, seeds, None, str(tmp_path / "full"), cfg)
+    got = sorted(r.url for r in resumed.seen(spark).collect())
+    assert got == sorted(r.url for r in full.seen(spark).collect())
+    assert "https://bogus.example.com/" not in got
+
+
 # -- cycle fixtures: termination + no refetch -----------------------------------
 
 def test_cycles_no_url_fetched_twice(smoke_graph):
