@@ -425,8 +425,16 @@ def q_embed_cosine_topk(spark, sf):
 
 
 def q_embed_ann_lsh(spark, sf):
-    e = _t(spark, sf, "embeddings")
-    return simsearch.lsh_bucketed_topk(e, _query_vec(spark, sf), k=10, n_planes=6)
+    """Single-bucket ANN against the PERSISTED partitioned index — the
+    production path (partition pruning reads one bucket directory, no
+    per-query re-hash of the table). The unindexed scan-and-hash form
+    (simsearch.lsh_bucketed_topk) stays as a test-only baseline
+    (tests/test_simsearch.py)."""
+    qv = _query_vec(spark, sf)
+    qb = simsearch._query_bucket(qv, n_planes=6)
+    return simsearch.ann_topk_indexed(
+        spark, _srp_index_path(spark, sf), qv, k=10, n_planes=6, buckets=[qb]
+    )
 
 
 _SRP_IDX: dict[str, str] = {}
@@ -531,7 +539,8 @@ def q_crawl_retry(spark, sf):  # U4: requeue-on-failure error multiset
     )
     out = crawl(spark, pages_path, seeds, None, os.path.join(workdir, "state"), cfg)
     return out.errors(spark).select(
-        F.col("round").cast("long").alias("round"), "url", "stage", "reason"
+        F.col("round").cast("long").alias("round"), "url", "stage", "reason",
+        "details",
     )
 
 
@@ -542,6 +551,118 @@ def q_domain_lifecycle(spark, sf):  # crawl_start/crawl_end + COMPLETED gate
         "status",
         F.col("start_round").cast("long").alias("start_round"),
         F.col("end_round").cast("long").alias("end_round"),
+    )
+
+
+# -- the composed `graven run` pipeline over the smoke crawl (flagship;
+#    reference pipeline_builder.py:124-224): the enrichment tables are
+#    oracled by the pure-Python pipeline_oracle over the crawl oracle's
+#    results — the SAME fixture formulas, computed without Spark ------------
+
+def _cached_pipeline(spark):
+    if "pipe" not in _CRAWL_CACHE:
+        from graven_spark.plans.pipeline import enrich_from_results
+
+        out = _cached_smoke_crawl(spark)
+        _CRAWL_CACHE["pipe"] = enrich_from_results(
+            spark, out.results(spark), "run0"
+        )
+    return _CRAWL_CACHE["pipe"]
+
+
+def _pipeline_oracle_tables():
+    if "pipe_ora" not in _CRAWL_CACHE:
+        from graven_spark.plans.pipeline import pipeline_oracle
+
+        run = _smoke_oracle_run()
+        _CRAWL_CACHE["pipe_ora"] = pipeline_oracle(
+            [(r["url"], r["publish_ts"]) for r in run.results], "run0"
+        )
+    return _CRAWL_CACHE["pipe_ora"]
+
+
+def q_run_pipeline_jars(spark, sf):  # jar table from the composed run
+    t = _cached_pipeline(spark)
+    return t["jars"].select(
+        "jar_id", "uri", "group_id", "artifact_id", "version",
+        F.date_format("publish_date", "yyyy-MM-dd HH:mm:ss").alias("publish_date"),
+    )
+
+
+def q_run_pipeline_assoc(spark, sf):  # jar__cve assoc from the composed run
+    return _cached_pipeline(spark)["jar_cve"].select("jar_id", "cve_id")
+
+
+def q_run_pipeline_cve(spark, sf):  # enriched cve table (hits + misses)
+    return _cached_pipeline(spark)["cve"].select(
+        "cve_id", "description_en", "base_score",
+        F.array_join("cwes", ",").alias("cwe_list"),
+        F.col("found").cast("int").alias("found"),
+    )
+
+
+def q_run_pipeline_cwe(spark, sf):  # cwe table parsed from fixture pages
+    return _cached_pipeline(spark)["cwe"].select(
+        "cwe_id", "cwe_name", "cwe_description", "link"
+    )
+
+
+def _run_pipeline_jars_sql() -> str:
+    vals = ", ".join(
+        "('%s', '%s', %s, %s, %s, '%s')" % (
+            _sq(j["jar_id"]), _sq(j["uri"]),
+            "NULL" if j["group_id"] is None else f"'{_sq(j['group_id'])}'",
+            "NULL" if j["artifact_id"] is None else f"'{_sq(j['artifact_id'])}'",
+            "NULL" if j["version"] is None else f"'{_sq(j['version'])}'",
+            j["publish_date"].strftime("%Y-%m-%d %H:%M:%S"),
+        )
+        for j in _pipeline_oracle_tables()["jars"]
+    )
+    return (
+        "SELECT jar_id, uri, CAST(group_id AS VARCHAR) AS group_id, "
+        "CAST(artifact_id AS VARCHAR) AS artifact_id, "
+        "CAST(version AS VARCHAR) AS version, publish_date "
+        f"FROM (VALUES {vals}) AS t(jar_id, uri, group_id, artifact_id, "
+        "version, publish_date)"
+    )
+
+
+def _run_pipeline_assoc_sql() -> str:
+    vals = ", ".join(
+        f"('{_sq(j)}', '{c}')" for j, c in _pipeline_oracle_tables()["jar_cve"]
+    )
+    return f"SELECT jar_id, cve_id FROM (VALUES {vals}) AS t(jar_id, cve_id)"
+
+
+def _run_pipeline_cve_sql() -> str:
+    vals = ", ".join(
+        "('%s', %s, %s, %s, %d)" % (
+            c["cve_id"],
+            "NULL" if c["description_en"] is None else f"'{c['description_en']}'",
+            "NULL" if c["base_score"] is None else repr(c["base_score"]),
+            "NULL" if c["cwes"] is None else "'" + ",".join(c["cwes"]) + "'",
+            1 if c["found"] else 0,
+        )
+        for c in _pipeline_oracle_tables()["cve"]
+    )
+    return (
+        "SELECT cve_id, CAST(description_en AS VARCHAR) AS description_en, "
+        "CAST(base_score AS DOUBLE) AS base_score, "
+        "CAST(cwe_list AS VARCHAR) AS cwe_list, CAST(found AS INT) AS found "
+        f"FROM (VALUES {vals}) AS t(cve_id, description_en, base_score, "
+        "cwe_list, found)"
+    )
+
+
+def _run_pipeline_cwe_sql() -> str:
+    vals = ", ".join(
+        f"('{c['cwe_id']}', '{_sq(c['cwe_name'])}', "
+        f"'{_sq(c['cwe_description'])}', '{c['link']}')"
+        for c in _pipeline_oracle_tables()["cwe"]
+    )
+    return (
+        "SELECT cwe_id, cwe_name, cwe_description, link "
+        f"FROM (VALUES {vals}) AS t(cwe_id, cwe_name, cwe_description, link)"
     )
 
 
@@ -560,12 +681,13 @@ def _crawl_smoke_sql() -> str:
 def _crawl_retry_sql() -> str:
     run = _smoke_oracle_run(max_retries=2, with_robots=False)
     vals = ", ".join(
-        f"({e['round']}, '{_sq(e['url'])}', '{e['stage']}', '{e['reason']}')"
+        f"({e['round']}, '{_sq(e['url'])}', '{e['stage']}', '{e['reason']}', "
+        f"'{_sq(e['details'])}')"
         for e in run.errors
     )
     return (
-        "SELECT CAST(round AS BIGINT) AS round, url, stage, reason "
-        f"FROM (VALUES {vals}) AS t(round, url, stage, reason)"
+        "SELECT CAST(round AS BIGINT) AS round, url, stage, reason, details "
+        f"FROM (VALUES {vals}) AS t(round, url, stage, reason, details)"
     )
 
 
@@ -646,6 +768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_smoke": q_crawl_smoke,
         "crawl_retry": q_crawl_retry,
         "domain_lifecycle": q_domain_lifecycle,
+        "run_pipeline_jars": q_run_pipeline_jars,
+        "run_pipeline_assoc": q_run_pipeline_assoc,
+        "run_pipeline_cve": q_run_pipeline_cve,
+        "run_pipeline_cwe": q_run_pipeline_cwe,
     }
 
 
@@ -952,4 +1078,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_smoke": _crawl_smoke_sql(),
         "crawl_retry": _crawl_retry_sql(),
         "domain_lifecycle": _domain_lifecycle_sql(),
+        "run_pipeline_jars": _run_pipeline_jars_sql(),
+        "run_pipeline_assoc": _run_pipeline_assoc_sql(),
+        "run_pipeline_cve": _run_pipeline_cve_sql(),
+        "run_pipeline_cwe": _run_pipeline_cwe_sql(),
     }

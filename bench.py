@@ -267,7 +267,10 @@ def full_crawl(spark, cache: str, workdir: str, warm: bool = True) -> dict:
     seeds = spark.createDataFrame(
         __import__("pandas").read_parquet(os.path.join(cache, "seeds.parquet"))
     )
-    cfg = CrawlConfig(use_bloom=True, bloom=BLOOM, compact_every=4)
+    # batch_threshold: small tail frontiers (the last BFS levels) process
+    # multiple depths per commit instead of paying per-round driver overhead
+    cfg = CrawlConfig(use_bloom=True, bloom=BLOOM, compact_every=4,
+                      batch_threshold=512)
     if warm:  # first run pays JIT + Python-worker + catalog cold start
         crawl(spark, os.path.join(cache, "pages"), seeds, None,
               os.path.join(workdir, "state_warm"), cfg)

@@ -83,28 +83,47 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="graven_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    c = sub.add_parser("crawl", help="run/resume a crawl")
-    c.add_argument("--pages", required=True, help="pages table path (parquet)")
-    c.add_argument("--seeds", required=True, help="seed CSV (col 0 = url) or parquet")
-    c.add_argument("--state", required=True, help="checkpoint/state directory")
-    c.add_argument("--robots", default=None, help="robots rules parquet")
-    c.add_argument("--budget", type=int, default=None,
-                   help="default per-host per-round budget; 0 selects nothing "
-                        "for a host, so a crawl whose every pending host has "
-                        "budget 0 fails fast (no progress is possible)")
-    c.add_argument("--max-rounds", type=int, default=1000)
-    c.add_argument("--max-retries", type=int, default=0,
-                   help="requeue failed dir fetches up to N times (U4)")
-    c.add_argument("--no-bloom", action="store_true")
-    c.add_argument("--bloom-buckets", type=int, default=32)
-    c.add_argument("--bloom-bits", type=int, default=1 << 21)
-    c.add_argument("--seen-buckets", type=int, default=32,
-                   help="bucket count for the compacted seen base table")
-    c.add_argument("--update-domain", action="append", default=[],
-                   help="re-open a COMPLETED host on resume: purge its seen "
-                        "URLs and re-seed its root (repeatable)")
-    c.add_argument("--update-jar", default=None, metavar="PREFIX",
-                   help="re-fetch + re-extract recorded results under PREFIX")
+    def add_crawl_args(c):
+        c.add_argument("--pages", required=True, help="pages table path (parquet)")
+        c.add_argument("--seeds", required=True,
+                       help="seed CSV (col 0 = url) or parquet")
+        c.add_argument("--state", required=True, help="checkpoint/state directory")
+        c.add_argument("--robots", default=None, help="robots rules parquet")
+        c.add_argument("--budget", type=int, default=None,
+                       help="default per-host per-round budget; 0 selects nothing "
+                            "for a host, so a crawl whose every pending host has "
+                            "budget 0 fails fast (no progress is possible)")
+        c.add_argument("--max-rounds", type=int, default=1000)
+        c.add_argument("--max-retries", type=int, default=0,
+                       help="requeue failed dir fetches up to N times (U4)")
+        c.add_argument("--no-bloom", action="store_true")
+        c.add_argument("--bloom-buckets", type=int, default=32)
+        c.add_argument("--bloom-bits", type=int, default=1 << 21)
+        c.add_argument("--seen-buckets", type=int, default=32,
+                       help="bucket count for the compacted seen base table")
+        c.add_argument("--update-domain", action="append", default=[],
+                       help="re-open a COMPLETED host on resume: purge its seen "
+                            "URLs and re-seed its root (repeatable)")
+        c.add_argument("--update-jar", default=None, metavar="PREFIX",
+                       help="re-fetch + re-extract recorded results under PREFIX")
+        c.add_argument("--batch-threshold", type=int, default=0,
+                       help="adaptive round batching: when the frontier has "
+                            "fewer rows than this, process multiple depths "
+                            "per commit (0 = one commit per depth)")
+        c.add_argument("--batch-max", type=int, default=16,
+                       help="max depths per committed batch")
+
+    add_crawl_args(sub.add_parser("crawl", help="run/resume a crawl"))
+
+    r = sub.add_parser(
+        "run",
+        help="flagship end-to-end pipeline: crawl + process + vuln enrich "
+             "(reference `graven run`, pipeline_builder.py:124-224)",
+    )
+    add_crawl_args(r)
+    r.add_argument("--out", required=True,
+                   help="output directory for the enrichment tables "
+                        "(jar/jar_cve/cve/cve_cwe/cwe/stage_lineage parquet)")
 
     e = sub.add_parser("export", help="export crawl results (S7 analog)")
     e.add_argument("--state", required=True)
@@ -120,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
 
-    if args.cmd == "crawl":
+    if args.cmd in ("crawl", "run"):
         cfg = CrawlConfig(
             use_bloom=not args.no_bloom,
             bloom=BloomSpec(n_buckets=args.bloom_buckets, bits_per_shard=args.bloom_bits),
@@ -129,10 +148,30 @@ def main(argv: list[str] | None = None) -> int:
             seen_buckets=args.seen_buckets,
             update_domains=args.update_domain,
             update_url_prefix=args.update_jar,
+            batch_threshold=args.batch_threshold,
+            max_batch_rounds=args.batch_max,
             **({"default_budget": args.budget} if args.budget is not None else {}),
         )
         seeds = read_seeds(spark, args.seeds)
         robots = spark.read.parquet(args.robots) if args.robots else None
+        if args.cmd == "run":
+            from .plans.pipeline import run_pipeline
+
+            pout = run_pipeline(spark, args.pages, seeds, robots, args.state, cfg)
+            for name in ("jars", "jar_cve", "cve", "cve_cwe", "cwe",
+                         "stage_lineage"):
+                getattr(pout, name).write.mode("overwrite").parquet(
+                    os.path.join(args.out, name)
+                )
+            stats = {
+                r.stage: r.rows_out
+                for r in spark.read.parquet(
+                    os.path.join(args.out, "stage_lineage")
+                ).collect()
+            }
+            print(f"stages={stats} rounds={pout.crawl.final_round} "
+                  f"elapsed={format_hms_py(time.time() - t0)}")
+            return 0
         out = crawl(spark, args.pages, seeds, robots, args.state, cfg)
         lineage = out.lineage(spark).groupBy("round").agg(
             F.sum("urls_in").alias("urls_in"),

@@ -69,16 +69,24 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 
 def srp_bucket(v: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-random-projection bucket id (0..2^n_planes-1)."""
-    acc = F.lit(0).cast("long")
+    """Sign-random-projection bucket id (0..2^n_planes-1).
+
+    The hyperplane matrix rides as ONE nested-array literal — per-plane
+    CreateArray literals would scatter dim × n_planes expression nodes into
+    the plan (~25k nodes at dim 1536 × 16 planes), the same plan-bloat
+    disease as a literal rank-offsets array. One Literal node keeps the
+    plan O(1) in dim; the weights sum exactly (powers of two < 2^53 are
+    exact in doubles)."""
+    planes = F.lit([_hyperplane(dim, p) for p in range(n_planes)])
     vd = _as_double(v)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
-        bit = F.when(dot(vd, plane) >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        acc = acc + bit
-    return acc
+    bits = F.zip_with(
+        planes,
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda pl, p: F.when(dot(vd, pl) >= 0, F.pow(F.lit(2.0), p)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return F.aggregate(bits, F.lit(0.0), lambda a, x: a + x).cast("long")
 
 
 def lsh_bucketed_topk(
@@ -147,10 +155,14 @@ def ann_topk_indexed(
     n_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    buckets: list[int] | None = None,
 ) -> DataFrame:
-    """ANN top-k against the persisted index: partition pruning restricts the
-    scan to the multi-probe bucket directories (verify: the plan's
-    PartitionFilters show ``srp_bucket IN (...)``)."""
-    buckets = multiprobe_buckets(query_vec, n_planes)
+    """ANN top-k against the persisted index: partition pruning restricts
+    the scan to the probed bucket directories (verify: the plan's
+    PartitionFilters show ``srp_bucket IN (...)``). Default probes the
+    query's bucket plus all Hamming-1 neighbors; pass ``buckets`` to probe
+    an explicit set (e.g. just the home bucket)."""
+    if buckets is None:
+        buckets = multiprobe_buckets(query_vec, n_planes)
     cand = spark.read.parquet(index_path).filter(F.col("srp_bucket").isin(buckets))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -62,17 +62,18 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.4,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard via inverted-index
     self-join (no cross join). Returns (doc_a, doc_b, jaccard).
 
-    ``max_shingle_df`` (default 1000) drops stop-shingles BEFORE the
-    self-join — ON by default because one shingle appearing in d documents
-    contributes d² candidate pairs: a single stop-shingle at corpus scale
-    turns the join quadratic. Pass None only for exact-Jaccard parity on
-    corpora known to have no hot shingles (the dropped-shingle Jaccard is an
-    approximation of the full one)."""
+    ``max_shingle_df`` drops stop-shingles BEFORE the self-join: one shingle
+    appearing in d documents contributes d² candidate pairs, so a single
+    stop-shingle at corpus scale turns the join quadratic. The default is
+    None — exact Jaccard, the operator's documented contract — because the
+    capped form computes Jaccard over the post-filter shingle sets (an
+    approximation). ALWAYS pass a cap (e.g. 1000) at corpus scale; the
+    registered entry-point query and bench do."""
     sh = (
         documents.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle"))
     )

@@ -25,6 +25,7 @@ Semantic choices pinned here (and documented in SURVEY.md §7.4):
 from __future__ import annotations
 
 import datetime as dt
+import json
 from dataclasses import dataclass, field
 
 from .core import (
@@ -38,6 +39,14 @@ from .core import (
     url_host,
     url_path,
 )
+
+
+def details_json(**kw) -> str:
+    """Error ``details`` exactly as the engine's to_json(struct(...)) emits
+    it: insertion-ordered keys, null fields omitted, no whitespace."""
+    return json.dumps(
+        {k: v for k, v in kw.items() if v is not None}, separators=(",", ":")
+    )
 
 
 @dataclass
@@ -130,7 +139,10 @@ def crawl_oracle(
             if page is None:  # dead link — 404 analog (crawler.py:119-125)
                 run.errors.append(
                     {"round": round_no, "url": row.url, "stage": "crawler",
-                     "reason": "fetch_failed"}
+                     "reason": "fetch_failed",
+                     "details": details_json(
+                         attempt=row.retry_count + 1,
+                         parent_url=row.parent_url, depth=row.depth)}
                 )
                 if row.retry_count < max_retries:  # U4 requeue
                     retries.append(
@@ -145,7 +157,9 @@ def crawl_oracle(
             if parse_failed:
                 run.errors.append(
                     {"round": round_no, "url": row.url,
-                     "stage": "crawler", "reason": "parse_failed"}
+                     "stage": "crawler", "reason": "parse_failed",
+                     "details": details_json(
+                         parent_url=row.parent_url, depth=row.depth)}
                 )
             for idx, link in enumerate(links):
                 child = row.url + link.href  # absolutize (crawler.py:74,80)
@@ -168,7 +182,9 @@ def crawl_oracle(
                     if leaf_page is None:
                         run.errors.append(
                             {"round": round_no, "url": child,
-                             "stage": "download", "reason": "fetch_failed"}
+                             "stage": "download", "reason": "fetch_failed",
+                             "details": details_json(
+                                 parent_url=row.url, depth=row.depth + 1)}
                         )
                         continue
                     run.results.append(

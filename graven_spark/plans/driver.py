@@ -59,6 +59,9 @@ class CrawlOutputs:
     def frontier(self, spark: SparkSession, k: int) -> DataFrame:
         return self.store.read_frontier(spark, k)
 
+    def run_log(self, spark: SparkSession) -> DataFrame:
+        return self.store.read_run_log(spark)
+
 
 def _reopen_domains(
     spark: SparkSession,
@@ -78,7 +81,7 @@ def _reopen_domains(
 
     hosts = cfg.update_domains
     meta = store.meta(k)
-    store.clean_uncommitted(k + 1)
+    store.clean_uncommitted_above(k)
     reseed = (
         seeds.select(
             canonicalize(F.col("url")).alias("url"),
@@ -104,13 +107,18 @@ def _reopen_domains(
     store.write_seen_full(spark, k + 1, seen_next)
     if cfg.use_bloom:
         store.write(k + 1, "shards", build_shards(store.read_seen(spark, k + 1), cfg.bloom))
-    domains = store.read_domains(spark, k).select(
+    # Stamp IN_PROGRESS for every host that actually got frontier rows at
+    # k+1 — full-outer against the prior table so an update host with a seed
+    # but NO prior domain row gets its IN_PROGRESS/start_round=k+1 row
+    # immediately (not one round late via _domains_step at k+2).
+    reopened = reseed.select("host").distinct().withColumn("_re", F.lit(True))
+    j = store.read_domains(spark, k).join(reopened, "host", "full")
+    is_re = F.coalesce(F.col("_re"), F.lit(False))
+    domains = j.select(
         "host",
-        F.when(F.col("host").isin(hosts), F.lit("IN_PROGRESS"))
-        .otherwise(F.col("status")).alias("status"),
-        F.when(F.col("host").isin(hosts), F.lit(k + 1))
-        .otherwise(F.col("start_round")).alias("start_round"),
-        F.when(F.col("host").isin(hosts), F.lit(None).cast("int"))
+        F.when(is_re, F.lit("IN_PROGRESS")).otherwise(F.col("status")).alias("status"),
+        F.when(is_re, F.lit(k + 1)).otherwise(F.col("start_round")).alias("start_round"),
+        F.when(is_re, F.lit(None).cast("int"))
         .otherwise(F.col("end_round")).alias("end_round"),
     )
     store.write(k + 1, "domains", domains)
@@ -119,6 +127,7 @@ def _reopen_domains(
         priority_base=meta.priority_base,
         frontier_count=next_frontier.count(),
         seen_buckets=cfg.seen_buckets,
+        seen_bucketed=True,  # write_seen_full ran pre-commit
         **_meta_bloom(cfg),
     )
     store.commit(k + 1, next_meta)
@@ -137,7 +146,7 @@ def _update_urls(
     url's depth/publish_ts are carried from the prior row, round is
     re-stamped — read_results keeps the newest row per url)."""
     meta = store.meta(k)
-    store.clean_uncommitted(k + 1)
+    store.clean_uncommitted_above(k)
     targets = (
         store.read_results(spark, k)
         .filter(F.col("url").startswith(cfg.update_url_prefix))
@@ -145,8 +154,11 @@ def _update_urls(
     )
     # no broadcast hint: the prefix can match an unbounded share of results
     # (unlike the budget-bounded round sets) — AQE broadcasts iff small
-    pages = spark.read.parquet(pages_path).select("url", "warc_ts", "html", "lang")
-    refreshed = pages.join(targets, "url", "inner").select(
+    pages = spark.read.parquet(pages_path).select(
+        "url", "warc_ts", "html", "lang"
+    ).withColumn("_hit", F.lit(True))
+    joined = targets.join(pages, "url", "left")
+    refreshed = joined.filter(F.col("_hit").isNotNull()).select(
         "url",
         "warc_ts",
         extract_text(F.col("html")).alias("text"),
@@ -155,9 +167,21 @@ def _update_urls(
         F.lit(k + 1).alias("round"),
         "publish_ts",
     )
+    # a recorded result url gone from pages re-fetches as a failure: log it
+    # (the reference logs re-fetch failures too, crawler.py:119-125) instead
+    # of silently keeping the stale result row without trace
+    refetch_failed = joined.filter(F.col("_hit").isNull()).select(
+        F.lit(k + 1).alias("round"), "url",
+        F.lit("crawler").alias("stage"), F.lit("fetch_failed").alias("reason"),
+        F.to_json(F.struct(
+            F.lit("update_jar").alias("stage_ctx"),
+            F.lit(cfg.update_url_prefix).alias("prefix"),
+        )).alias("details"),
+    )
     frontier = store.read_frontier(spark, k)
     store.write(k + 1, "frontier", frontier)
     store.write(k + 1, "results_delta", refreshed)
+    store.write(k + 1, "errors_delta", refetch_failed)
     store.mark_updated()
     store.write(k + 1, "domains", store.read_domains(spark, k))
     shards = store.read_shards(spark, k)
@@ -200,8 +224,13 @@ def crawl(
             meta = _update_urls(spark, store, k, pages_path, cfg)
             k = meta.round
 
+    # run_log bracket (reference log_run_start/log_run_end,
+    # graven_database.py:353-377): opening also closes any dangling prior
+    # run as KILLED — the crash-safe analog of the reference's UPDATE.
+    seq = store.log_run_start(cfg.run_id, k)
     while meta.frontier_count > 0 and meta.round < cfg.max_rounds:
         meta = run_round(spark, store, pages_path, robots, cfg, meta.round)
         store.maybe_compact_seen(spark, meta.round)
         k = meta.round
+    store.log_run_end(seq, k)
     return CrawlOutputs(store=store, final_round=k)

@@ -71,6 +71,15 @@ class CrawlConfig:
     max_retries: int = 0  # U4: failed dir fetches requeue up to this many times
     seen_buckets: int = SEEN_BUCKETS_DEFAULT
     bloom_broadcast_limit: int = BLOOM_BROADCAST_LIMIT
+    # Frontier-size-adaptive round batching (SURVEY.md §7.4.5): when the
+    # frontier holds fewer than batch_threshold rows, up to max_batch_rounds
+    # logical depths are processed IN MEMORY before one parquet round-trip +
+    # commit — deep, narrow crawl tails (chain graphs, retry dribbles) stop
+    # paying per-depth driver/commit overhead. 0 = off (one commit per
+    # depth). Logical round stamps, priorities and lineage are preserved
+    # exactly; only the per-depth frontier *snapshots* are skipped.
+    batch_threshold: int = 0
+    max_batch_rounds: int = 16
     # --update-domain analog: hosts to purge from seen + re-seed on resume.
     update_domains: list[str] = field(default_factory=list)
     # --update-jar analog: re-fetch+re-extract seen leaf urls with this prefix.
@@ -189,25 +198,46 @@ def init_run(
     return meta
 
 
-def run_round(
+@dataclass
+class _RoundFlow:
+    """One logical depth's outputs, all still in memory (next_frontier and
+    new are persisted; the rest derive from persisted parents)."""
+
+    next_frontier: DataFrame
+    new: DataFrame
+    results: DataFrame
+    errors: DataFrame
+    lineage: DataFrame
+    n_selected: int
+    next_count: int
+    persisted: list
+
+
+def _round_dataflow(
     spark: SparkSession,
-    store: RoundStore,
     pages_path: str,
     robots: DataFrame | None,
     cfg: CrawlConfig,
     k: int,
-) -> RoundMeta:
-    """Execute round k (state in round_k/) and commit round_{k+1}/."""
-    store.clean_uncommitted(k + 1)  # a crashed prior attempt (or aborted
-    # update transition) may have left stale artifacts we must not commit around
-    meta = store.meta(k)
-    frontier = store.read_frontier(spark, k)
-    seen_base = store.read_seen_base(spark, k)
-    seen_deltas = store.read_seen_deltas(spark, k)
-    seen_parts = [p for p in (seen_base, seen_deltas) if p is not None]
-    shards, shards_rebuilt = validated_shards(spark, store, meta, cfg, k)
-    bloom_bcs: list = []
-
+    priority_base: int,
+    frontier: DataFrame,
+    seen_parts: list[DataFrame],
+    shards: DataFrame | None,
+    bloom_bcs: list,
+    batch_deltas: list[DataFrame],
+    truncate: bool = False,
+) -> _RoundFlow:
+    """The per-depth dataflow for logical round k: politeness select →
+    global FIFO rank → fetch join → link explode → admission → split.
+    ``batch_deltas``: urls admitted by earlier depths of the SAME committed
+    batch — exact anti-join parts (tiny, AQE-broadcast; they are not Bloom
+    -covered, so they must not carry the maybe_seen condition).
+    ``truncate``: materialize ``new`` / ``next_frontier`` via eager
+    localCheckpoint instead of persist — REQUIRED when depths chain in
+    memory (each depth's logical plan builds on the last; 16 chained
+    depths of un-truncated plan OOM the driver just *printing* the tree).
+    Mid-batch fault tolerance is not lost: a crashed batch recomputes from
+    the committed round."""
     # -- politeness selection (W3/T3) --------------------------------------
     flagged = select_round(frontier, robots, cfg.default_budget, cfg.n_salts)
     selected = flagged.filter(F.col("selected")).drop("selected")
@@ -240,9 +270,15 @@ def run_round(
         ranked.join(F.broadcast(fetched.select("url")), "url", "left_anti")
         .persist()
     )
+    # error ``details``: per-stage JSON context (reference error_log.details,
+    # /root/reference/ddl/error_log.sql; to_json omits null fields)
     errors_dead = failed.select(
         F.lit(k).alias("round"), "url",
         F.lit("crawler").alias("stage"), F.lit("fetch_failed").alias("reason"),
+        F.to_json(F.struct(
+            (F.col("retry_count") + 1).alias("attempt"),
+            "parent_url", "depth",
+        )).alias("details"),
     )
     retries = (
         failed.filter(F.col("retry_count") < F.lit(cfg.max_retries))
@@ -252,6 +288,7 @@ def run_round(
     errors_parse = fetched.filter(F.col("ext.parse_failed")).select(
         F.lit(k).alias("round"), "url",
         F.lit("crawler").alias("stage"), F.lit("parse_failed").alias("reason"),
+        F.to_json(F.struct("parent_url", "depth")).alias("details"),
     )
 
     # -- link explode + absolutize + priority arithmetic (P1/P3, core.py) ---
@@ -265,7 +302,7 @@ def run_round(
         F.concat(F.col("parent_url"), F.col("link.href")).alias("url"),
         (F.col("parent_depth") + 1).alias("depth"),
         (
-            F.lit(meta.priority_base)
+            F.lit(priority_base)
             + F.col("fifo_rank") * F.lit(PRIORITY_STRIDE)
             + F.col("discovery_idx")
         ).alias("priority"),
@@ -283,14 +320,19 @@ def run_round(
         cand, seen_parts, shards, cfg.bloom,
         broadcast_limit=cfg.bloom_broadcast_limit, track=bloom_bcs,
         dedup_first=True,
-    ).persist()
+    )
+    for d in batch_deltas:
+        new = new.join(d.select("url"), "url", "left_anti")
+    new = new.localCheckpoint(eager=True) if truncate else new.persist()
 
     new_dirs = (
         new.filter(F.col("is_dir"))
         .withColumn("retry_count", F.lit(0))
         .select(*FRONTIER_COLS)
     )
-    new_leaves = new.filter(~F.col("is_dir")).select("url", "depth", "ts_str")
+    new_leaves = new.filter(~F.col("is_dir")).select(
+        "url", "depth", "ts_str", "parent_url"
+    )
 
     # -- leaf fetch + text extraction (downloader/extractor analog) ---------
     pages_full = spark.read.parquet(pages_path).select("url", "warc_ts", "html", "lang")
@@ -309,6 +351,7 @@ def run_round(
         .select(
             F.lit(k).alias("round"), "url",
             F.lit("download").alias("stage"), F.lit("fetch_failed").alias("reason"),
+            F.to_json(F.struct("parent_url", "depth")).alias("details"),
         )
     )
 
@@ -339,45 +382,125 @@ def run_round(
         )
     )
 
-    # -- write round k+1 -----------------------------------------------------
-    next_frontier = deferred.unionByName(new_dirs).unionByName(retries).persist()
+    next_frontier = deferred.unionByName(new_dirs).unionByName(retries)
+    next_frontier = (
+        next_frontier.localCheckpoint(eager=True) if truncate
+        else next_frontier.persist()
+    )
     next_count = next_frontier.count()
-    store.write(k + 1, "frontier", next_frontier)
-    store.write(k + 1, "seen_delta", _seen_delta(new))
-    store.write(k + 1, "results_delta", results)
-    store.write(
-        k + 1, "errors_delta",
-        errors_dead.unionByName(errors_parse).unionByName(errors_dead_leaf),
+    persisted = [fetched, failed, leaf_pages, pinned]
+    if not truncate:  # checkpointed frames free via ContextCleaner on GC
+        persisted += [new, next_frontier]
+    return _RoundFlow(
+        next_frontier=next_frontier,
+        new=new,
+        results=results,
+        errors=errors_dead.unionByName(errors_parse).unionByName(errors_dead_leaf),
+        lineage=lineage,
+        n_selected=n_selected,
+        next_count=next_count,
+        persisted=persisted,
     )
-    store.write(k + 1, "lineage", lineage)
-    store.write(
-        k + 1, "domains",
-        _domains_step(store.read_domains(spark, k), next_frontier, k + 1),
-    )
+
+
+def run_round(
+    spark: SparkSession,
+    store: RoundStore,
+    pages_path: str,
+    robots: DataFrame | None,
+    cfg: CrawlConfig,
+    k: int,
+) -> RoundMeta:
+    """Execute one committed transition starting at round k.
+
+    Normally that is exactly one logical depth (commit round_{k+1}). With
+    ``cfg.batch_threshold > 0`` and a frontier smaller than it, up to
+    ``cfg.max_batch_rounds`` logical depths run back-to-back in memory and
+    commit ONCE at round_{k+n} — same results/errors/lineage/priority
+    arithmetic per logical round, one parquet round-trip and one commit for
+    the whole batch. The batch stops early when the frontier empties, grows
+    back over the threshold, or max_rounds is reached."""
+    # a crashed prior attempt (or aborted update transition) may have left
+    # stale artifacts at ANY index above k (batched commits stride) — sweep
+    # them all; committing around stale state is never allowed
+    store.clean_uncommitted_above(k)
+    meta = store.meta(k)
+    frontier = store.read_frontier(spark, k)
+    seen_base = store.read_seen_base(spark, k)
+    seen_deltas = store.read_seen_deltas(spark, k)
+    seen_parts = [p for p in (seen_base, seen_deltas) if p is not None]
+    shards, shards_rebuilt = validated_shards(spark, store, meta, cfg, k)
+    bloom_bcs: list = []
+
+    batching = 0 < meta.frontier_count < cfg.batch_threshold
+    max_inner = cfg.max_batch_rounds if batching else 1
+
+    flows: list[_RoundFlow] = []
+    domains = store.read_domains(spark, k)
+    priority_base = meta.priority_base
+    logical_k = k
+    while True:
+        flow = _round_dataflow(
+            spark, pages_path, robots, cfg, logical_k, priority_base,
+            frontier, seen_parts, shards, bloom_bcs,
+            batch_deltas=[f.new for f in flows],
+            truncate=batching,
+        )
+        flows.append(flow)
+        priority_base += flow.n_selected * PRIORITY_STRIDE
+        logical_k += 1
+        domains = _domains_step(domains, flow.next_frontier, logical_k)
+        frontier = flow.next_frontier
+        if (
+            len(flows) >= max_inner
+            or flow.next_count == 0
+            or logical_k >= cfg.max_rounds
+            or (batching and flow.next_count >= cfg.batch_threshold)
+        ):
+            break
+
+    commit_k = logical_k
+    all_new = flows[0].new
+    for f in flows[1:]:
+        all_new = all_new.unionByName(f.new)
+    store.write(commit_k, "frontier", flows[-1].next_frontier)
+    store.write(commit_k, "seen_delta", _seen_delta(all_new))
+    results = flows[0].results
+    errors = flows[0].errors
+    lineage = flows[0].lineage
+    for f in flows[1:]:
+        results = results.unionByName(f.results)
+        errors = errors.unionByName(f.errors)
+        lineage = lineage.unionByName(f.lineage)
+    store.write(commit_k, "results_delta", results)
+    store.write(commit_k, "errors_delta", errors)
+    store.write(commit_k, "lineage", lineage)
+    store.write(commit_k, "domains", domains)
     if cfg.use_bloom:
         # LSM shards: per-round writes are DELTAS (O(new urls) bytes, not
         # O(total filter) — a 10^10-URL filter is tens of GB); a full merged
         # baseline is re-materialized only at compaction cadence or after a
         # spec-change rebuild.
-        delta = build_shards(new, cfg.bloom)
-        full_due = shards_rebuilt or shards is None or (k + 1) % cfg.compact_every == 0
+        delta = build_shards(all_new, cfg.bloom)
+        full_due = shards_rebuilt or shards is None or commit_k % cfg.compact_every == 0
         if full_due:
             shards_next = merge_shards(shards, delta) if shards is not None else delta
-            store.write(k + 1, "shards", shards_next)
+            store.write(commit_k, "shards", shards_next)
         else:
-            store.write(k + 1, "shards_delta", delta)
+            store.write(commit_k, "shards_delta", delta)
 
     next_meta = RoundMeta(
-        round=k + 1,
-        priority_base=meta.priority_base + n_selected * PRIORITY_STRIDE,
-        frontier_count=next_count,
+        round=commit_k,
+        priority_base=priority_base,
+        frontier_count=flows[-1].next_count,
         seen_buckets=cfg.seen_buckets,
         **_meta_bloom(cfg),
     )
-    store.commit(k + 1, next_meta)
+    store.commit(commit_k, next_meta)
 
-    for df in (fetched, failed, new, leaf_pages, next_frontier, pinned):
-        df.unpersist()
+    for f in flows:
+        for df in f.persisted:
+            df.unpersist()
     for bc in bloom_bcs:
         bc.destroy()
     return next_meta

@@ -66,7 +66,18 @@ RESULTS_SCHEMA = (
     "url string, warc_ts timestamp, text string, lang string, "
     "depth int, round int, publish_ts timestamp"
 )
-ERRORS_SCHEMA = "round int, url string, stage string, reason string"
+# ``details`` is a JSON object (reference error_log.details,
+# /root/reference/ddl/error_log.sql + graven_database.py:393-405: optional
+# debug context per error) — built with to_json(struct(...)), null fields
+# omitted, so each stage ships its own context keys.
+ERRORS_SCHEMA = "round int, url string, stage string, reason string, details string"
+# Folded run-lifecycle rows (reference run_log,
+# /root/reference/ddl/0_run_log.sql + graven_database.py:353-377: one row
+# per invocation, start/end stamps + exit code).
+RUN_LOG_SCHEMA = (
+    "seq int, run_id string, start_round int, end_round int, "
+    "exit_status string, started_at string, ended_at string"
+)
 LINEAGE_SCHEMA = (
     "run_id string, round int, partition_id int, "
     "urls_in bigint, urls_out bigint, bytes_fetched bigint"
@@ -84,6 +95,11 @@ class RoundMeta:
     priority_base: int
     frontier_count: int
     seen_buckets: int = SEEN_BUCKETS_DEFAULT
+    # True iff this round's seen_full was written by write_seen_full (bucketed
+    # + sorted, one file per bucket). The read path branches on THIS flag —
+    # never on file-name sniffing, which a Spark naming change or a foreign
+    # writer would fool into declaring wrong bucket metadata.
+    seen_bucketed: bool = False
     bloom_on: bool = False
     bloom_buckets: int = 0
     bloom_bits: int = 0
@@ -141,6 +157,17 @@ class RoundStore:
         if os.path.exists(d) and not os.path.exists(os.path.join(d, "_COMMIT")):
             shutil.rmtree(d)
 
+    def clean_uncommitted_above(self, k: int) -> None:
+        """Sweep EVERY uncommitted round dir above k. Batched rounds commit
+        at a data-dependent index (k + depths-processed), so a crashed batch
+        can leave its partial dir at any index > k; the union readers scan
+        by directory existence, so a stale dir must never be left where a
+        later (differently-batched) commit sequence could stride past it."""
+        for d in os.listdir(self.root):
+            m = _ROUND_RE.match(d)
+            if m and int(m.group(1)) > k:
+                self.clean_uncommitted(int(m.group(1)))
+
     def commit(self, k: int, meta: RoundMeta) -> None:
         with open(self._p(k, "meta.json"), "w") as f:
             f.write(meta.to_json())
@@ -150,6 +177,17 @@ class RoundStore:
     def meta(self, k: int) -> RoundMeta:
         with open(self._p(k, "meta.json")) as f:
             return RoundMeta.from_json(f.read())
+
+    def _stamp_seen_bucketed(self, k: int) -> None:
+        """Set seen_bucketed in an already-committed round's meta (compaction
+        runs post-commit). Atomic replace; a crash before the stamp merely
+        degrades the next resume to the plain (Exchange-ful) read path."""
+        m = self.meta(k)
+        m.seen_bucketed = True
+        tmp = self._p(k, "_meta_tmp.json")
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+        os.replace(tmp, self._p(k, "meta.json"))
 
     # -- writers ------------------------------------------------------------
     def write(self, k: int, name: str, df: DataFrame) -> None:
@@ -235,11 +273,13 @@ class RoundStore:
         kb = self._base_round(upto_k)
         if kb is None:
             return None
-        buckets = self.meta(kb).seen_buckets
+        meta = self.meta(kb)
+        buckets = meta.seen_buckets
         tbl = f"graven_seen_{self._digest}_{kb:06d}"
         path = self._p(kb, "seen_full")
-        if not any(re.search(r"_\d{5}\.", f) for f in os.listdir(path)):
-            # a seen_full written by a non-bucketed writer (older layout):
+        if not meta.seen_bucketed:
+            # a seen_full not stamped by write_seen_full (legacy layout,
+            # foreign writer, or a crash between rename and meta stamp):
             # still a correct seen base, just joins with an Exchange
             return spark.read.schema(SEEN_SCHEMA).parquet(path)
         if not spark.catalog.tableExists(tbl):
@@ -284,12 +324,20 @@ class RoundStore:
 
     def maybe_compact_seen(self, spark: SparkSession, k: int) -> bool:
         """Consolidate the seen LSM into round k's bucketed seen_full when
-        due. Crash-safe (temp dir + atomic rename) and idempotent."""
-        if k == 0 or k % self.compact_every != 0:
+        due. Crash-safe (temp dir + atomic rename) and idempotent. Due =
+        every compact_every rounds — by modulus for the stride-1 commit
+        sequence, or by distance from the newest base when batched commits
+        skip the exact multiples."""
+        if k == 0:
             return False
+        if k % self.compact_every != 0:
+            kb = self._base_round(k)
+            if k - (kb if kb is not None else 0) < self.compact_every:
+                return False
         if os.path.exists(self._p(k, "seen_full")):
             return False
         self.write_seen_full(spark, k, self.read_seen(spark, k))
+        self._stamp_seen_bucketed(k)
         return True
 
     def read_union(self, spark: SparkSession, name: str, schema: str, upto_k: int) -> DataFrame:
@@ -321,6 +369,82 @@ class RoundStore:
 
     def read_errors(self, spark: SparkSession, upto_k: int) -> DataFrame:
         return self.read_union(spark, "errors_delta", ERRORS_SCHEMA, upto_k)
+
+    # -- run_log (reference /root/reference/ddl/0_run_log.sql) --------------
+    # Event-sourced: each crawl() invocation appends one atomic ``start``
+    # event file and (on clean exit) one ``end`` file under run_log/. A
+    # killed run leaves a dangling start; the NEXT invocation closes it as
+    # KILLED at the latest committed round — the analog of the reference's
+    # log_run_start/log_run_end bracket (graven_database.py:353-377), made
+    # crash-safe by append-only atomic renames instead of an UPDATE.
+
+    def _run_log_dir(self) -> str:
+        d = os.path.join(self.root, "run_log")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _run_log_events(self) -> list[dict]:
+        d = self._run_log_dir()
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json") and not f.startswith("_"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def _write_run_event(self, evt: dict) -> None:
+        import datetime as _dt
+
+        evt["ts"] = _dt.datetime.now(_dt.timezone.utc).isoformat()
+        d = self._run_log_dir()
+        name = f"evt_{evt['seq']:06d}_{evt['event']}.json"
+        tmp = os.path.join(d, f"_tmp_{name}")
+        with open(tmp, "w") as f:
+            json.dump(evt, f)
+        os.replace(tmp, os.path.join(d, name))
+
+    def log_run_start(self, run_id: str, start_round: int) -> int:
+        """Open a run; returns its seq. Any dangling (crashed) prior run is
+        closed as KILLED at the latest committed round first."""
+        events = self._run_log_events()
+        ended = {e["seq"] for e in events if e["event"] == "end"}
+        latest = self.latest_round()
+        for e in events:
+            if e["event"] == "start" and e["seq"] not in ended:
+                self._write_run_event({
+                    "seq": e["seq"], "event": "end", "round": latest,
+                    "exit_status": "KILLED",
+                })
+        seq = max((e["seq"] for e in events), default=-1) + 1
+        self._write_run_event({
+            "seq": seq, "event": "start", "round": start_round, "run_id": run_id,
+        })
+        return seq
+
+    def log_run_end(self, seq: int, end_round: int, exit_status: str = "OK") -> None:
+        self._write_run_event({
+            "seq": seq, "event": "end", "round": end_round,
+            "exit_status": exit_status,
+        })
+
+    def read_run_log(self, spark: SparkSession) -> DataFrame:
+        """Folded lifecycle table: one row per invocation; a run with no end
+        event yet is RUNNING (it either still is, or will be closed KILLED
+        by the next invocation)."""
+        starts: dict[int, dict] = {}
+        ends: dict[int, dict] = {}
+        for e in self._run_log_events():
+            (starts if e["event"] == "start" else ends)[e["seq"]] = e
+        rows = []
+        for seq in sorted(starts):
+            s, e = starts[seq], ends.get(seq)
+            rows.append((
+                seq, s.get("run_id"), s["round"],
+                e["round"] if e else None,
+                e["exit_status"] if e else "RUNNING",
+                s["ts"], e["ts"] if e else None,
+            ))
+        return spark.createDataFrame(rows, RUN_LOG_SCHEMA)
 
     def read_lineage(self, spark: SparkSession, upto_k: int) -> DataFrame:
         return self.read_union(spark, "lineage", LINEAGE_SCHEMA, upto_k)

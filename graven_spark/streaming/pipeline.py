@@ -46,30 +46,70 @@ def windowed_rates(pages_stream: DataFrame, window: str = "1 hour") -> DataFrame
     )
 
 
-def stream_host_budget(pages_stream: DataFrame, budget: int) -> DataFrame:
+_WINDOW_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _window_seconds(window: str | int) -> int:
+    if isinstance(window, int):
+        return window
+    n, unit = window.split()
+    return int(n) * _WINDOW_UNITS[unit]
+
+
+def stream_host_budget(
+    pages_stream: DataFrame, budget: int, window: str | int | None = None
+) -> DataFrame:
     """Custom stateful operator (north_rule: "applyInPandasWithState for
     custom stateful operators"): per-host fetch-budget enforcement whose
     token count PERSISTS ACROSS MICRO-BATCHES — the streaming form of the
-    batch token bucket (operators/politeness.py W3). State per host is one
-    long (tokens consumed); each batch admits rows in (warc_ts, url) order
-    until the host's lifetime budget is exhausted and emits
-    (url, host, warc_ts). At scale state is hash-partitioned by host and
-    checkpointed by the engine — no driver residency."""
+    batch token bucket (operators/politeness.py W3).
+
+    ``window=None``: lifetime budget (tokens never refresh). With a window
+    (e.g. ``"1 hour"``), tokens REFRESH per event-time tumbling window —
+    the streaming analog of the batch driver's per-ROUND budget: each
+    window is a round with a fresh allowance, and a window's consumption
+    spans micro-batches. State per host is (current window start, tokens
+    consumed in it); rows later than the state's window roll it forward and
+    reset the count; stragglers from already-passed windows draw from the
+    current window's allowance (conservative: late data can never overspend
+    a closed window). Each batch admits rows in (warc_ts, url) order and
+    emits (url, host, warc_ts). At scale state is hash-partitioned by host
+    and checkpointed by the engine — no driver residency."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    win_s = None if window is None else _window_seconds(window)
+
     def admit(key, pdfs, state: GroupState):
-        taken = state.get[0] if state.exists else 0
+        win_start, taken = state.get if state.exists else (-1, 0)
         # a host's micro-batch may arrive as several Arrow chunks: the
         # (warc_ts, url) order must be established over the WHOLE batch
         # before budgeting, or a later chunk's earlier rows lose their slot.
         # Memory bound: one host's rows for one micro-batch.
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(["warc_ts", "url"]).head(max(budget - taken, 0))
-        taken += len(pdf)
-        state.update((taken,))
-        if len(pdf):
-            yield pdf[["url", "host", "warc_ts"]]
+        pdf = pdf.sort_values(["warc_ts", "url"])
+        if win_s is None:
+            pdf = pdf.head(max(budget - taken, 0))
+            taken += len(pdf)
+            state.update((win_start, taken))
+            if len(pdf):
+                yield pdf[["url", "host", "warc_ts"]]
+            return
+        epoch = (pdf["warc_ts"].astype("int64") // 10**9).to_numpy()
+        out = []
+        for i in range(len(pdf)):
+            row_win = int(epoch[i]) // win_s * win_s
+            if row_win > win_start:  # next window: refresh the allowance
+                win_start, taken = row_win, 0
+            if taken < budget:
+                taken += 1
+                out.append(i)
+        state.update((win_start, taken))
+        if out:
+            yield pdf.iloc[out][["url", "host", "warc_ts"]]
 
     return (
         pages_stream.select("url", "host", "warc_ts")
@@ -77,7 +117,7 @@ def stream_host_budget(pages_stream: DataFrame, budget: int) -> DataFrame:
         .applyInPandasWithState(
             admit,
             outputStructType="url string, host string, warc_ts timestamp",
-            stateStructType="taken long",
+            stateStructType="win_start long, taken long",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

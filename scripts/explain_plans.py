@@ -183,6 +183,24 @@ def main() -> None:
         ["HashAggregate", "partial_min"],
     ))
 
+    # 6. indexed ANN: the persisted SRP index must answer a query by
+    # PARTITION PRUNING (PartitionFilters on srp_bucket) — no re-hash of the
+    # table, no full scan; and the plan must stay O(1) in embedding dim
+    # (srp_bucket's hyperplanes ride ONE nested-array literal)
+    from graven_spark.operators import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    idx_path = os.path.join(tmp, "srp_idx")
+    simsearch.write_srp_index(emb, idx_path, dim=len(qv), n_planes=6)
+    ann = simsearch.ann_topk_indexed(spark, idx_path, qv, k=10, n_planes=6)
+    ann_plan = formatted(ann)
+    sections.append((
+        "Indexed ANN (partition-pruned SRP bucket probe)",
+        ann_plan,
+        ["PartitionFilters", "srp_bucket"],
+    ))
+
     lines = ["# PLANS — physical-plan evidence for the hot paths",
              "",
              "Generated by `python scripts/explain_plans.py`. Each section lists",

@@ -85,11 +85,15 @@ def _assert_match(spark, out, ora):
     }
     assert got_res == want_res
 
-    # errors as multisets
+    # errors as multisets, incl. the JSON details context
     got_err = sorted(
-        (r.round, r.url, r.stage, r.reason) for r in out.errors(spark).collect()
+        (r.round, r.url, r.stage, r.reason, r.details)
+        for r in out.errors(spark).collect()
     )
-    want_err = sorted((e["round"], e["url"], e["stage"], e["reason"]) for e in ora.errors)
+    want_err = sorted(
+        (e["round"], e["url"], e["stage"], e["reason"], e["details"])
+        for e in ora.errors
+    )
     assert got_err == want_err
 
     # lineage: per-round totals

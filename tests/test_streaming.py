@@ -62,3 +62,51 @@ def test_stream_host_budget_state_spans_batches(spark, t2_graph, tmp_path):
         h: min(budget, int(n)) for h, n in pd_pages.groupby("host").size().items()
     }
     assert got == want
+
+
+def test_stream_host_budget_windowed_refresh_across_batches(spark, tmp_path):
+    """Windowed token refresh: tokens reset per event-time tumbling window
+    (the streaming analog of the batch per-round budget), while a single
+    window's consumption still spans micro-batches. Window A's rows arrive
+    in TWO micro-batches (2 then 2, budget 3 ⇒ the 4th is rejected —
+    impossible without cross-batch state); window B refreshes the
+    allowance; a window-A straggler in batch 3 sorts before the B rows
+    (event-time order), so it is budgeted against the still-current,
+    exhausted A window and rejected — late data cannot overspend."""
+    import datetime as dt
+
+    import pandas as pd
+
+    host = "h.example.com"
+    win_a = dt.datetime(2025, 1, 1, 10, 0)
+    win_b = dt.datetime(2025, 1, 1, 11, 0)
+    batches = [
+        # batch 1: two window-A rows (admitted: tokens 2/3)
+        [(f"u{i}", win_a + dt.timedelta(minutes=i)) for i in range(2)],
+        # batch 2: two MORE window-A rows — only one slot left
+        [(f"u{i}", win_a + dt.timedelta(minutes=i)) for i in range(2, 4)],
+        # batch 3: three window-B rows (refresh ⇒ admit all 3)
+        # + one window-A straggler (late; draws from exhausted B allowance)
+        [(f"v{i}", win_b + dt.timedelta(minutes=i)) for i in range(3)]
+        + [("u9", win_a + dt.timedelta(minutes=59))],
+    ]
+    pages_dir = tmp_path / "pages_win"
+    pages_dir.mkdir()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            [{"url": u, "host": host, "warc_ts": ts} for u, ts in rows]
+        )
+        pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+        pdf.to_parquet(pages_dir / f"b{i}.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("url string, host string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(pages_dir))
+    )
+    out = run_to_memory(
+        spark, stream_host_budget(stream, budget=3, window="1 hour"),
+        "host_budget_win_t",
+    )
+    got = sorted(r.url for r in out.collect())
+    assert got == ["u0", "u1", "u2", "v0", "v1", "v2"]
