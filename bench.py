@@ -130,10 +130,20 @@ def scale_session(master: str, wh: str, tag: str, extra: dict | None = None):
     """Session bound to the persistent bucketed-table warehouse ``wh``
     (Hive/Derby catalog so bucketing metadata survives across processes).
     Shuffle partitions are pinned to BUCKETS at every parallelism level so
-    the physical plan is identical — only the core count varies."""
+    the physical plan is identical — only the core count varies.
+
+    Heap scales with the level (1 GiB/core, floor 8): N→4N executors on a
+    real cluster brings 4× aggregate heap alongside 4× cores; pinning one
+    8 GiB local heap while quadrupling task threads models memory-starved
+    scaling, not cluster scaling (measured: the big fetch+extract stage's
+    GC went 6.6 → 90 task-sec from 8 to 32 threads on a fixed heap —
+    scripts/profile_wh.py)."""
+    n = master.split("[")[-1].rstrip("]")
+    cores = 32 if n == "*" else int(n)
     conf = {
         "spark.sql.warehouse.dir": os.path.join(wh, "warehouse"),
         "spark.sql.catalogImplementation": "hive",
+        "spark.driver.memory": f"{max(8, cores)}g",
         "spark.driver.extraJavaOptions":
             f"-Duser.timezone=UTC -Dderby.system.home={wh}",
     }
@@ -515,7 +525,13 @@ windows (rounds) and the best wall time per level is kept (min wall = least
 interference on this shared-capacity cloud box, whose effective capacity
 drifts ±20% over minutes). Shuffle dirs are on tmpfs; shuffle partitions
 are pinned to 32 at every level so the physical plan is IDENTICAL across
-levels — only the core count varies, exactly like adding executors.
+levels — only the core count varies, exactly like adding executors. The
+JVM heap scales with the level (1 GiB/core, floor 8 GiB): N→4N executors
+on a real cluster brings 4× aggregate heap alongside 4× cores, so pinning
+one fixed heap while quadrupling task threads would model memory-starved
+scaling, not cluster scaling (measured: the fetch+extract stage's GC went
+6.6 → 90 task-sec from 8 to 32 threads on a fixed 8 GiB heap, and back to
+16.7 with the scaled heap — scripts/profile_wh.py).
 
 | parallelism | best wall sec | all trials | URLs admitted | throughput (URLs scheduled+deduped/sec) |
 |---|---|---|---|---|

@@ -125,6 +125,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="output directory for the enrichment tables "
                         "(jar/jar_cve/cve/cve_cwe/cwe/stage_lineage parquet)")
 
+    pr = sub.add_parser(
+        "process",
+        help="enrichment stages over an EXISTING crawl state (reference "
+             "`graven process` — DB-as-queue consumption, SURVEY.md §3.3)",
+    )
+    pr.add_argument("--state", required=True, help="crawl state directory")
+    pr.add_argument("--out", required=True,
+                    help="output directory for the enrichment tables")
+    pr.add_argument("--run-id", default="run0")
+
     e = sub.add_parser("export", help="export crawl results (S7 analog)")
     e.add_argument("--state", required=True)
     e.add_argument("--out", required=True)
@@ -138,6 +148,23 @@ def main(argv: list[str] | None = None) -> int:
     from .functions.duration import format_hms_py
 
     t0 = time.time()
+
+    if args.cmd == "process":
+        from .plans.pipeline import enrich_from_results
+        from .sources.checkpoint import RoundStore
+
+        store = RoundStore(args.state)
+        k = store.latest_round()
+        if k is None:
+            print("no committed rounds in state dir")
+            return 1
+        t = enrich_from_results(spark, store.read_results(spark, k), args.run_id)
+        counts = {}
+        for name, df in t.items():
+            df.write.mode("overwrite").parquet(os.path.join(args.out, name))
+            counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+        print(f"processed {counts} elapsed={format_hms_py(time.time() - t0)}")
+        return 0
 
     if args.cmd in ("crawl", "run"):
         cfg = CrawlConfig(

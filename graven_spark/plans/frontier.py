@@ -482,7 +482,14 @@ def run_round(
         # baseline is re-materialized only at compaction cadence or after a
         # spec-change rebuild.
         delta = build_shards(all_new, cfg.bloom)
-        full_due = shards_rebuilt or shards is None or commit_k % cfg.compact_every == 0
+        last_full = store.last_full_shards_round(k)
+        full_due = (
+            shards_rebuilt or shards is None
+            or commit_k % cfg.compact_every == 0
+            # batched commits stride past the modulus rounds — re-baseline
+            # by distance so the delta chain stays bounded
+            or commit_k - (last_full if last_full is not None else 0) >= cfg.compact_every
+        )
         if full_due:
             shards_next = merge_shards(shards, delta) if shards is not None else delta
             store.write(commit_k, "shards", shards_next)

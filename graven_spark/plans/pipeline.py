@@ -275,14 +275,23 @@ class PipelineOutputs:
 
 
 def enrich_from_results(
-    spark: SparkSession, results: DataFrame, run_id: str
+    spark: SparkSession, results: DataFrame, run_id: str,
+    scanner=None,
 ) -> dict[str, DataFrame]:
     """The process/update-vuln stages as one dataflow over a results table
-    (usable standalone — the reference's ``process`` command shape)."""
+    (usable standalone — the reference's ``process`` command shape).
+
+    ``scanner``: jars-DataFrame → (jar_id, report_json) DataFrame. Defaults
+    to the deterministic fixture; a real deployment passes a
+    ``mapInPandas`` wrapper that shells out to grype per batch
+    (reference scanner.py — the external binary is the only stubbed part)."""
     jars = jar_table(results, run_id)
-    reports = jars.select(
-        "jar_id", fixture_report(F.col("jar_id")).alias("report_json")
-    )
+    if scanner is None:
+        def scanner(j):
+            return j.select(
+                "jar_id", fixture_report(F.col("jar_id")).alias("report_json")
+            )
+    reports = scanner(jars)
     matches = flatten_grype(reports)
     jar_cve = jar_cve_assoc(matches, run_id)
     ids = matches.select(F.col("vuln_id").alias("cve_id")).distinct()

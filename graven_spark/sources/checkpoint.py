@@ -223,6 +223,15 @@ class RoundStore:
     def read_frontier(self, spark: SparkSession, k: int) -> DataFrame:
         return self._read(spark, self._p(k, "frontier"), FRONTIER_SCHEMA)
 
+    def last_full_shards_round(self, upto_k: int) -> int | None:
+        """Newest round ≤ upto_k holding a FULL shard baseline (not a
+        delta) — drives the distance-based full-rebuild cadence when
+        batched commits stride past the modulus rounds."""
+        for j in range(upto_k, -1, -1):
+            if os.path.exists(self._p(j, "shards")):
+                return j
+        return None
+
     def read_shards(self, spark: SparkSession, k: int) -> DataFrame | None:
         """Bloom shards at round k: the newest FULL shard set ≤ k OR'd with
         the per-round shard deltas after it (the same LSM shape as the seen

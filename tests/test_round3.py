@@ -386,3 +386,13 @@ def test_cli_run_writes_enrichment_tables(spark, smoke_graph, tmp_path):
     assert jars.count() > 0 and assoc.count() > 0
     # assoc FK side: every assoc jar_id exists in the jar table
     assert assoc.join(jars, "jar_id", "left_anti").count() == 0
+
+    # `process` re-runs the enrichment stages over the EXISTING crawl state
+    # (reference `graven process`, SURVEY.md §3.3) — same tables out
+    out2 = str(tmp_path / "enrich2")
+    rc = main(["process", "--state", str(tmp_path / "state"), "--out", out2])
+    assert rc == 0
+    assoc2 = spark.read.parquet(os.path.join(out2, "jar_cve"))
+    assert sorted((r.jar_id, r.cve_id) for r in assoc2.collect()) == sorted(
+        (r.jar_id, r.cve_id) for r in assoc.collect()
+    )
