@@ -607,6 +607,16 @@ def q_run_pipeline_cwe(spark, sf):  # cwe table parsed from fixture pages
     )
 
 
+def q_run_pipeline_stages(spark, sf):  # per-worker-stage lineage rollup
+    from graven_spark.plans.pipeline import stage_lineage_from
+
+    out = _cached_smoke_crawl(spark)
+    t = _cached_pipeline(spark)
+    return stage_lineage_from(out.results(spark), t, "run0").select(
+        "stage", F.col("rows_out").cast("long").alias("rows_out")
+    )
+
+
 def _run_pipeline_jars_sql() -> str:
     vals = ", ".join(
         "('%s', '%s', %s, %s, %s, '%s')" % (
@@ -651,6 +661,24 @@ def _run_pipeline_cve_sql() -> str:
         "CAST(cwe_list AS VARCHAR) AS cwe_list, CAST(found AS INT) AS found "
         f"FROM (VALUES {vals}) AS t(cve_id, description_en, base_score, "
         "cwe_list, found)"
+    )
+
+
+def _run_pipeline_stages_sql() -> str:
+    ora = _pipeline_oracle_tables()
+    run = _smoke_oracle_run()
+    counts = [
+        ("crawler", len(run.results)),
+        ("downloader", len(ora["jars"])),
+        ("scanner", len(ora["jars"])),
+        ("analyzer", len(ora["jar_cve"])),
+        ("vuln_fetcher", len(ora["cve"])),
+        ("cwe_fetcher", len(ora["cwe"])),
+    ]
+    vals = ", ".join(f"('{s}', {n})" for s, n in counts)
+    return (
+        "SELECT stage, CAST(rows_out AS BIGINT) AS rows_out "
+        f"FROM (VALUES {vals}) AS t(stage, rows_out)"
     )
 
 
@@ -772,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_pipeline_assoc": q_run_pipeline_assoc,
         "run_pipeline_cve": q_run_pipeline_cve,
         "run_pipeline_cwe": q_run_pipeline_cwe,
+        "run_pipeline_stages": q_run_pipeline_stages,
     }
 
 
@@ -1082,4 +1111,5 @@ def oracle_sql() -> dict[str, str]:
         "run_pipeline_assoc": _run_pipeline_assoc_sql(),
         "run_pipeline_cve": _run_pipeline_cve_sql(),
         "run_pipeline_cwe": _run_pipeline_cwe_sql(),
+        "run_pipeline_stages": _run_pipeline_stages_sql(),
     }

@@ -135,6 +135,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="output directory for the enrichment tables")
     pr.add_argument("--run-id", default="run0")
 
+    uv = sub.add_parser(
+        "update-vuln",
+        help="re-query unresolved CVEs against a (new) reference source "
+             "(reference `graven update-vuln`)",
+    )
+    uv.add_argument("--enrich", required=True,
+                    help="prior enrichment directory (holds cve/ parquet)")
+    uv.add_argument("--out", required=True)
+    uv.add_argument("--cve-ref", default=None,
+                    help="parsed NVD reference parquet "
+                         "(cve_id, description_en, base_score, cwes); "
+                         "defaults to the deterministic fixture source")
+    uv.add_argument("--run-id", default="run1")
+
     e = sub.add_parser("export", help="export crawl results (S7 analog)")
     e.add_argument("--state", required=True)
     e.add_argument("--out", required=True)
@@ -148,6 +162,24 @@ def main(argv: list[str] | None = None) -> int:
     from .functions.duration import format_hms_py
 
     t0 = time.time()
+
+    if args.cmd == "update-vuln":
+        from .plans.pipeline import update_vuln
+
+        prior = spark.read.parquet(os.path.join(args.enrich, "cve"))
+        ref = spark.read.parquet(args.cve_ref) if args.cve_ref else None
+        t = update_vuln(spark, prior, args.run_id, cve_ref=ref)
+        counts = {}
+        for name, df in t.items():
+            df.write.mode("overwrite").parquet(os.path.join(args.out, name))
+            counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+        n_found = (
+            spark.read.parquet(os.path.join(args.out, "cve"))
+            .filter(F.col("found")).count()
+        )
+        print(f"updated {counts} found={n_found} "
+              f"elapsed={format_hms_py(time.time() - t0)}")
+        return 0
 
     if args.cmd == "process":
         from .plans.pipeline import enrich_from_results

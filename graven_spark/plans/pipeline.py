@@ -319,6 +319,22 @@ def _stage_row(df: DataFrame, run_id: str, stage: str) -> DataFrame:
     )
 
 
+def stage_lineage_from(
+    results: DataFrame, t: dict[str, DataFrame], run_id: str
+) -> DataFrame:
+    """Per-stage lineage (reference per-worker statistics,
+    pipeline_builder.py:322-330): one row per worker stage with its output
+    row count."""
+    return (
+        _stage_row(results, run_id, "crawler")
+        .unionByName(_stage_row(t["jars"], run_id, "downloader"))
+        .unionByName(_stage_row(t["reports"], run_id, "scanner"))
+        .unionByName(_stage_row(t["jar_cve"], run_id, "analyzer"))
+        .unionByName(_stage_row(t["cve"], run_id, "vuln_fetcher"))
+        .unionByName(_stage_row(t["cwe"], run_id, "cwe_fetcher"))
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     pages_path: str,
@@ -332,21 +348,48 @@ def run_pipeline(
     out = crawl(spark, pages_path, seeds, robots, state_dir, cfg)
     results = out.results(spark)
     t = enrich_from_results(spark, results, cfg.run_id)
-    # per-stage lineage (reference per-worker statistics,
-    # pipeline_builder.py:322-330): one row per worker stage
-    stage_lineage = (
-        _stage_row(results, cfg.run_id, "crawler")
-        .unionByName(_stage_row(t["jars"], cfg.run_id, "downloader"))
-        .unionByName(_stage_row(t["reports"], cfg.run_id, "scanner"))
-        .unionByName(_stage_row(t["jar_cve"], cfg.run_id, "analyzer"))
-        .unionByName(_stage_row(t["cve"], cfg.run_id, "vuln_fetcher"))
-        .unionByName(_stage_row(t["cwe"], cfg.run_id, "cwe_fetcher"))
-    )
+    stage_lineage = stage_lineage_from(results, t, cfg.run_id)
     return PipelineOutputs(
         crawl=out, jars=t["jars"], reports=t["reports"], jar_cve=t["jar_cve"],
         cve=t["cve"], cve_cwe=t["cve_cwe"], cwe=t["cwe"],
         stage_lineage=stage_lineage,
     )
+
+
+def update_vuln(
+    spark: SparkSession,
+    cve_prior: DataFrame,
+    run_id: str,
+    cve_ref: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """The reference's ``update-vuln`` command (vuln_fetcher re-query of
+    CVEs whose enrichment previously failed, __main__.py:82-85 +
+    vuln_fetcher.py:111-146): re-look-up ONLY the found=false rows against
+    ``cve_ref`` (a parsed NVD reference table — defaults to the
+    deterministic fixture source, making the command idempotent in tests;
+    pass a fresh dump re-parsed with parse_nvd in production) and rebuild
+    the downstream cve↔cwe / cwe tables from the merged result. Resolved
+    rows keep their original run_id; re-queried rows stamp the new one."""
+    missing = cve_prior.filter(~F.col("found")).select("cve_id")
+    if cve_ref is None:
+        nvd_raw = missing.filter(~nvd_miss(F.col("cve_id"))).select(
+            fixture_nvd(F.col("cve_id")).alias("nvd_json")
+        )
+        cve_ref = parse_nvd(nvd_raw)
+    refreshed = nvd_batch_lookup(missing, cve_ref).withColumn(
+        "run_id", F.lit(run_id)
+    )
+    cve = cve_prior.filter(F.col("found")).unionByName(
+        refreshed.select(*cve_prior.columns)
+    )
+    cve_cwe = cve_cwe_assoc(cve.select("cve_id", "cwes")).withColumn(
+        "run_id", F.lit(run_id)
+    )
+    cwe_pages = cve_cwe.select("cwe_id").distinct().select(
+        "cwe_id", fixture_cwe_html(F.col("cwe_id")).alias("html")
+    )
+    cwe = parse_cwe_page(cwe_pages).withColumn("run_id", F.lit(run_id))
+    return {"cve": cve, "cve_cwe": cve_cwe, "cwe": cwe}
 
 
 # -- pure-Python pipeline oracle ----------------------------------------------

@@ -396,3 +396,57 @@ def test_cli_run_writes_enrichment_tables(spark, smoke_graph, tmp_path):
     assert sorted((r.jar_id, r.cve_id) for r in assoc2.collect()) == sorted(
         (r.jar_id, r.cve_id) for r in assoc.collect()
     )
+
+
+def test_update_vuln_resolves_missing(spark, tmp_path):
+    """`update-vuln` re-queries ONLY found=false rows: idempotent against
+    the same (fixture) source; an injected reference containing one of the
+    missing ids flips exactly that row to found and regenerates its
+    cve↔cwe association."""
+    from graven_spark.plans.enrich import nvd_batch_lookup, parse_nvd
+    from graven_spark.plans.pipeline import (
+        fixture_nvd,
+        nvd_miss,
+        nvd_miss_py,
+        update_vuln,
+    )
+
+    # the prior cve table is the enrichment lookup over a request set chosen
+    # so BOTH fixture branches (hit + miss) are guaranteed present
+    ids = [f"CVE-2024-{i:04d}" for i in range(60)]
+    misses = [i for i in ids if nvd_miss_py(i)]
+    assert misses and len(misses) < len(ids)
+    req = spark.createDataFrame([(i,) for i in ids], "cve_id string")
+    parsed = parse_nvd(
+        req.filter(~nvd_miss(F.col("cve_id"))).select(
+            fixture_nvd(F.col("cve_id")).alias("nvd_json")
+        )
+    )
+    prior = (
+        nvd_batch_lookup(req, parsed).withColumn("run_id", F.lit("run0")).persist()
+    )
+    missing = sorted(r.cve_id for r in prior.filter(~prior.found).collect())
+    assert missing == sorted(misses)
+
+    # same source ⇒ idempotent (misses stay misses, hits untouched)
+    t1 = update_vuln(spark, prior, "run1")
+    assert sorted(
+        (r.cve_id, r.found, r.description_en) for r in t1["cve"].collect()
+    ) == sorted((r.cve_id, r.found, r.description_en) for r in prior.collect())
+
+    # a fresher reference that now knows one missing id resolves it
+    target = missing[0]
+    ref = spark.createDataFrame(
+        [(target, "late-desc", 9.9, ["CWE-9999"])],
+        "cve_id string, description_en string, base_score double, cwes array<string>",
+    )
+    t2 = update_vuln(spark, prior, "run2", cve_ref=ref)
+    rows = {r.cve_id: r for r in t2["cve"].collect()}
+    assert rows[target].found and rows[target].description_en == "late-desc"
+    assert rows[target].run_id == "run2"
+    still_missing = {c for c, r in rows.items() if not r.found}
+    assert still_missing == set(missing) - {target}
+    assert (target, "CWE-9999") in {
+        (r.cve_id, r.cwe_id) for r in t2["cve_cwe"].collect()
+    }
+    prior.unpersist()
