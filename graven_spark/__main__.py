@@ -96,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--max-rounds", type=int, default=1000)
         c.add_argument("--max-retries", type=int, default=0,
                        help="requeue failed dir fetches up to N times (U4)")
+        c.add_argument("--jar-limit", type=int, default=None,
+                       help="global per-round fetch cap (T3, reference "
+                            "downloader.py jar_limit semaphore): the first N "
+                            "URLs in global priority order fetch, the rest "
+                            "defer to the next round")
         c.add_argument("--no-bloom", action="store_true")
         c.add_argument("--bloom-buckets", type=int, default=32)
         c.add_argument("--bloom-bits", type=int, default=1 << 21)
@@ -204,6 +209,7 @@ def main(argv: list[str] | None = None) -> int:
             bloom=BloomSpec(n_buckets=args.bloom_buckets, bits_per_shard=args.bloom_bits),
             max_rounds=args.max_rounds,
             max_retries=args.max_retries,
+            jar_limit=args.jar_limit,
             seen_buckets=args.seen_buckets,
             update_domains=args.update_domain,
             update_url_prefix=args.update_jar,

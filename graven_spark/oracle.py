@@ -76,13 +76,16 @@ def crawl_oracle(
     default_host_budget: int = 1 << 30,
     max_rounds: int = 1 << 20,
     max_retries: int = 0,
+    jar_limit: int | None = None,
 ) -> OracleRun:
     """Run the reference-faithful crawl; ``pages`` maps url → page row dict
     with at least ``html`` (bytes); ``robots`` maps host →
     {disallow_prefixes, crawl_delay_tokens}. ``max_retries``: failed dir
     fetches re-enter the next frontier with retry_count+1 (U4, reference
     requeue /root/reference/graven/worker/generator.py:71-76); every failed
-    attempt logs an error row."""
+    attempt logs an error row. ``jar_limit``: global per-round fetch cap
+    (T3, reference downloader.py:60,188-195 semaphore) — the first
+    jar_limit selected URLs in priority order fetch, the rest defer."""
     robots = robots or {}
     run = OracleRun()
 
@@ -127,6 +130,10 @@ def crawl_oracle(
                 "frontier non-empty but nothing selected — politeness "
                 "budget must be ≥ 1 per active host"
             )
+        if jar_limit is not None and len(selected) > jar_limit:
+            # T3 global cap: over-limit rows defer with priority intact
+            deferred = deferred + selected[jar_limit:]
+            selected = selected[:jar_limit]
 
         new_dirs: list[FrontierRow] = []
         retries: list[FrontierRow] = []

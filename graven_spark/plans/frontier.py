@@ -69,6 +69,13 @@ class CrawlConfig:
     compact_every: int = 8
     max_rounds: int = 1000
     max_retries: int = 0  # U4: failed dir fetches requeue up to this many times
+    # --jar-limit analog (T3; reference downloader.py:60,188-195 semaphore
+    # capping jars in flight): global per-round fetch cap applied AFTER the
+    # global FIFO rank — the first jar_limit URLs in priority order fetch,
+    # the rest defer to the next round with their priorities intact (so the
+    # deferred set re-ranks ahead of newer discoveries, exactly the
+    # reference's "waiting on the semaphore" queue position). None = off.
+    jar_limit: int | None = None
     seen_buckets: int = SEEN_BUCKETS_DEFAULT
     bloom_broadcast_limit: int = BLOOM_BROADCAST_LIMIT
     # Frontier-size-adaptive round batching (SURVEY.md §7.4.5): when the
@@ -253,6 +260,16 @@ def _round_dataflow(
             f"round {k}: frontier non-empty but nothing selected — "
             "politeness budget must be ≥ 1 per active host"
         )
+
+    # -- global per-round cap (T3, cfg.jar_limit): rows ranked past the cap
+    # defer with priority intact; the rank is already global, so the cap is
+    # one filter — no extra shuffle, no second ordering pass
+    if cfg.jar_limit is not None and n_selected > cfg.jar_limit:
+        deferred = deferred.unionByName(
+            ranked.filter(F.col("fifo_rank") >= cfg.jar_limit).select(*FRONTIER_COLS)
+        )
+        ranked = ranked.filter(F.col("fifo_rank") < cfg.jar_limit)
+        n_selected = cfg.jar_limit
 
     # -- fetch join (J2): huge pages scan ⋈ broadcast round set -------------
     pages = spark.read.parquet(pages_path).select("url", "html")
@@ -450,6 +467,12 @@ def run_round(
         priority_base += flow.n_selected * PRIORITY_STRIDE
         logical_k += 1
         domains = _domains_step(domains, flow.next_frontier, logical_k)
+        # batched mode chains one lazy full-outer join per inner depth onto
+        # the domains frame; --batch-max is user-settable, and chained
+        # iterative plans are this repo's documented driver-OOM pitfall —
+        # truncate the lineage every few depths (tiny data: one row per host)
+        if batching and len(flows) % 4 == 0:
+            domains = domains.localCheckpoint(eager=True)
         frontier = flow.next_frontier
         if (
             len(flows) >= max_inner

@@ -253,11 +253,20 @@ def jar_table_py(result_urls: list[tuple[str, object]]) -> list[dict]:
             "publish_date": publish_ts,
         }
         prev = by_id.get(row["jar_id"])
-        if prev is None or (row["uri"], row["publish_date"]) < (
-            prev["uri"], prev["publish_date"]
-        ):
+        if prev is None or _jar_key(row) < _jar_key(prev):
             by_id[row["jar_id"]] = row
     return sorted(by_id.values(), key=lambda r: r["jar_id"])
+
+
+def _jar_key(r: dict) -> tuple:
+    """Mirror Spark's nulls-first struct ordering for the winner pick: a
+    null publish_date sorts BEFORE any timestamp (same uri from two hosts,
+    one listing carrying no ts, must pick the same winner on both sides —
+    a raw tuple compare would TypeError on None < datetime)."""
+    import datetime as _dt
+
+    pd = r["publish_date"]
+    return (r["uri"], pd is not None, pd or _dt.datetime.min)
 
 
 # -- the composed run --------------------------------------------------------

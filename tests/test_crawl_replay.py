@@ -48,6 +48,7 @@ def _run_both(spark, tmp_path, graph, with_robots: bool, cfg: CrawlConfig):
         pages_dict(graph.pages),
         list(graph.seeds.sort_values("seed_rank")["url"]),
         robots_dict(robots_pd) if robots_pd is not None else None,
+        jar_limit=cfg.jar_limit,
     )
     return out, ora
 
@@ -124,6 +125,26 @@ def test_replay_smoke_budgeted_with_robots(spark, smoke_graph, tmp_path):
     cfg = CrawlConfig(use_bloom=True, bloom=BloomSpec(n_buckets=8, bits_per_shard=1 << 16))
     out, ora = _run_both(spark, tmp_path, smoke_graph, with_robots=True, cfg=cfg)
     assert out.final_round > 3  # budget actually forced deferrals
+    _assert_match(spark, out, ora)
+
+
+def test_replay_jar_limit_global_cap(spark, smoke_graph, tmp_path):
+    """T3 --jar-limit (reference downloader.py:60,188-195 semaphore): a
+    global per-round cap of 7 URLs must defer identically to the oracle —
+    the over-limit rows re-enter the next frontier with priority intact, so
+    frontier snapshots, seen set, results and lineage all still replay."""
+    cfg = CrawlConfig(
+        use_bloom=True, bloom=BloomSpec(n_buckets=8, bits_per_shard=1 << 16),
+        jar_limit=7,
+    )
+    out, ora = _run_both(spark, tmp_path, smoke_graph, with_robots=False, cfg=cfg)
+    # the cap actually bit: more rounds than the unbounded BFS depth levels
+    uncapped = crawl_oracle(
+        pages_dict(smoke_graph.pages),
+        list(smoke_graph.seeds.sort_values("seed_rank")["url"]),
+    )
+    assert len(ora.frontier_snapshots) > len(uncapped.frontier_snapshots)
+    assert all(l["urls_in"] <= 7 for l in ora.lineage)
     _assert_match(spark, out, ora)
 
 
