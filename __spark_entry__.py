@@ -607,6 +607,21 @@ def q_run_pipeline_cwe(spark, sf):  # cwe table parsed from fixture pages
     )
 
 
+def q_run_pipeline_sboms(spark, sf):  # sbom blob table (S6): roundtrip oracle
+    # the contract is on the DECOMPRESSED payload (sha + length) plus the
+    # recorded codec — compressed bytes are codec-version detail
+    from graven_spark.functions.sbom import decompress_column
+
+    t = _cached_pipeline(spark)
+    df = decompress_column(t["sboms"], "sbom", "payload")
+    return df.select(
+        "jar_id",
+        F.sha2(F.col("payload").cast("binary"), 256).alias("payload_sha"),
+        F.length("payload").cast("long").alias("payload_len"),
+        "codec",
+    )
+
+
 def q_run_pipeline_stages(spark, sf):  # per-worker-stage lineage rollup
     from graven_spark.plans.pipeline import stage_lineage_from
 
@@ -670,6 +685,7 @@ def _run_pipeline_stages_sql() -> str:
     counts = [
         ("crawler", len(run.results)),
         ("downloader", len(ora["jars"])),
+        ("generator", len(ora["sboms"])),
         ("scanner", len(ora["jars"])),
         ("analyzer", len(ora["jar_cve"])),
         ("vuln_fetcher", len(ora["cve"])),
@@ -679,6 +695,26 @@ def _run_pipeline_stages_sql() -> str:
     return (
         "SELECT stage, CAST(rows_out AS BIGINT) AS rows_out "
         f"FROM (VALUES {vals}) AS t(stage, rows_out)"
+    )
+
+
+def _run_pipeline_sboms_sql() -> str:
+    import hashlib
+
+    from graven_spark.functions.sbom import CODEC
+
+    vals = ", ".join(
+        "('%s', '%s', %d, '%s')" % (
+            _sq(s["jar_id"]),
+            hashlib.sha256(s["sbom_json"].encode("utf-8")).hexdigest(),
+            len(s["sbom_json"]),
+            CODEC,
+        )
+        for s in _pipeline_oracle_tables()["sboms"]
+    )
+    return (
+        "SELECT jar_id, payload_sha, CAST(payload_len AS BIGINT) AS payload_len, "
+        f"codec FROM (VALUES {vals}) AS t(jar_id, payload_sha, payload_len, codec)"
     )
 
 
@@ -800,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_pipeline_assoc": q_run_pipeline_assoc,
         "run_pipeline_cve": q_run_pipeline_cve,
         "run_pipeline_cwe": q_run_pipeline_cwe,
+        "run_pipeline_sboms": q_run_pipeline_sboms,
         "run_pipeline_stages": q_run_pipeline_stages,
     }
 
@@ -1111,5 +1148,6 @@ def oracle_sql() -> dict[str, str]:
         "run_pipeline_assoc": _run_pipeline_assoc_sql(),
         "run_pipeline_cve": _run_pipeline_cve_sql(),
         "run_pipeline_cwe": _run_pipeline_cwe_sql(),
+        "run_pipeline_sboms": _run_pipeline_sboms_sql(),
         "run_pipeline_stages": _run_pipeline_stages_sql(),
     }

@@ -79,6 +79,46 @@ def export_archive(results, out: str, kind: str) -> tuple[int, int]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _build_scanners(args):
+    """(scanner, generator, tool_meta) from the --syft-path/--grype-path
+    flags: real subprocess wrappers with the reference argv shapes
+    (anchore/syft.py:80, grype.py:217) when a binary is given, else the
+    deterministic fixtures (None → pipeline default). Versions are probed
+    exactly like the reference's validate() (syft.py:94-105) and land in
+    the run_log metadata columns."""
+    from pyspark.sql import functions as F
+
+    from .operators.scanner import probe_version, subprocess_scanner
+
+    scanner = generator = None
+    meta = {
+        "syft_version": None if args.disable_syft else "fixture",
+        "grype_version": "fixture",
+        "grype_db_source": args.grype_db_source,
+    }
+    if args.grype_path:
+        scanner = subprocess_scanner(
+            [args.grype_path, "--by-cve", "-o", "json={out}", "{in}"],
+            timeout=args.scan_timeout,
+        )
+        meta["grype_version"] = probe_version(args.grype_path)
+    if args.syft_path and not args.disable_syft:
+        syft_scan = subprocess_scanner(
+            [args.syft_path, "-o", "json={out}", "--from", "local-file", "{in}"],
+            timeout=args.scan_timeout,
+        )
+        meta["syft_version"] = probe_version(args.syft_path)
+
+        def generator(jars):
+            # generator contract is (jar_id, sbom_json); a failed syft run
+            # yields a NULL sbom_json blob row (visible, never silently ok)
+            return syft_scan(jars).select(
+                "jar_id", F.col("report_json").alias("sbom_json")
+            )
+
+    return scanner, generator, meta
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="graven_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -111,6 +151,10 @@ def main(argv: list[str] | None = None) -> int:
                             "URLs and re-seed its root (repeatable)")
         c.add_argument("--update-jar", default=None, metavar="PREFIX",
                        help="re-fetch + re-extract recorded results under PREFIX")
+        c.add_argument("-u", "--update", action="store_true",
+                       help="re-open ALL recorded domains AND re-process ALL "
+                            "recorded jars (reference cli_parser.py:66-71; "
+                            "supersedes --update-domain/--update-jar)")
         c.add_argument("--batch-threshold", type=int, default=0,
                        help="adaptive round batching: when the frontier has "
                             "fewer rows than this, process multiple depths "
@@ -120,15 +164,37 @@ def main(argv: list[str] | None = None) -> int:
 
     add_crawl_args(sub.add_parser("crawl", help="run/resume a crawl"))
 
+    def add_scanner_args(c):
+        c.add_argument("--syft-path", default=None,
+                       help="real syft binary: the generator stage shells out "
+                            "per jar (reference anchore/syft.py:68-92); "
+                            "default = deterministic fixture SBOMs")
+        c.add_argument("--grype-path", default=None,
+                       help="real grype binary: the scanner stage shells out "
+                            "per jar (reference anchore/grype.py:206-226); "
+                            "default = deterministic fixture reports")
+        c.add_argument("--grype-db-source", default=None,
+                       help="recorded in the run_log row (0_run_log.sql)")
+        c.add_argument("--scan-timeout", type=float, default=60.0,
+                       help="per-scan subprocess timeout seconds")
+        c.add_argument("--disable-syft", action="store_true",
+                       help="skip SBOM generation; scanning proceeds directly "
+                            "on the jars (reference __main__.py:75-79)")
+
     r = sub.add_parser(
         "run",
         help="flagship end-to-end pipeline: crawl + process + vuln enrich "
              "(reference `graven run`, pipeline_builder.py:124-224)",
     )
     add_crawl_args(r)
+    add_scanner_args(r)
     r.add_argument("--out", required=True,
                    help="output directory for the enrichment tables "
-                        "(jar/jar_cve/cve/cve_cwe/cwe/stage_lineage parquet)")
+                        "(jar/sbom/jar_cve/cve/cve_cwe/cwe/stage_lineage parquet)")
+    r.add_argument("--disable-update-vuln", action="store_true",
+                   help="skip NVD enrichment: discovered CVE ids land "
+                        "found=false with null detail columns "
+                        "(reference __main__.py:83-86)")
 
     pr = sub.add_parser(
         "process",
@@ -139,6 +205,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--out", required=True,
                     help="output directory for the enrichment tables")
     pr.add_argument("--run-id", default="run0")
+    add_scanner_args(pr)
+    pr.add_argument("--enable-update-vuln", action="store_true",
+                    help="also run NVD enrichment (reference: the process "
+                         "command runs the vuln worker only with this flag, "
+                         "cli_parser.py:168 + __main__.py:83-86)")
 
     uv = sub.add_parser(
         "update-vuln",
@@ -154,8 +225,16 @@ def main(argv: list[str] | None = None) -> int:
                          "defaults to the deterministic fixture source")
     uv.add_argument("--run-id", default="run1")
 
-    e = sub.add_parser("export", help="export crawl results (S7 analog)")
-    e.add_argument("--state", required=True)
+    e = sub.add_parser(
+        "export",
+        help="export crawl results, or the sbom blob table as a "
+             "graven_sbom_dump archive (reference export_sboms, "
+             "graven_database.py:407-448)",
+    )
+    e.add_argument("--state", default=None, help="crawl state dir (results)")
+    e.add_argument("--enrich", default=None,
+                   help="enrichment output dir holding sboms/ (sbom export)")
+    e.add_argument("--what", choices=["results", "sboms"], default="results")
     e.add_argument("--out", required=True)
     e.add_argument("--format", choices=["json", "parquet", "zip", "tar.gz"],
                    default="json")
@@ -195,7 +274,15 @@ def main(argv: list[str] | None = None) -> int:
         if k is None:
             print("no committed rounds in state dir")
             return 1
-        t = enrich_from_results(spark, store.read_results(spark, k), args.run_id)
+        scanner, generator, _meta = _build_scanners(args)
+        t = enrich_from_results(
+            spark, store.read_results(spark, k), args.run_id,
+            scanner=scanner, generator=generator,
+            disable_syft=args.disable_syft,
+            # reference parity: process runs the vuln worker only with
+            # --enable-update-vuln (cli_parser.py:168)
+            disable_update_vuln=not args.enable_update_vuln,
+        )
         counts = {}
         for name, df in t.items():
             df.write.mode("overwrite").parquet(os.path.join(args.out, name))
@@ -204,6 +291,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd in ("crawl", "run"):
+        update_domains = args.update_domain
+        update_prefix = args.update_jar
+        if args.update:
+            # -u/--update: ALL recorded domains + ALL recorded jars
+            # (reference cli_parser.py:66-71 "Supersedes --update-* flags")
+            from .sources.checkpoint import RoundStore
+
+            _store = RoundStore(args.state)
+            _k = _store.latest_round()
+            if _k is not None:
+                update_domains = [
+                    r.host
+                    for r in _store.read_domains(spark, _k).select("host").collect()
+                ]
+                update_prefix = ""  # every recorded url matches
         cfg = CrawlConfig(
             use_bloom=not args.no_bloom,
             bloom=BloomSpec(n_buckets=args.bloom_buckets, bits_per_shard=args.bloom_bits),
@@ -211,8 +313,8 @@ def main(argv: list[str] | None = None) -> int:
             max_retries=args.max_retries,
             jar_limit=args.jar_limit,
             seen_buckets=args.seen_buckets,
-            update_domains=args.update_domain,
-            update_url_prefix=args.update_jar,
+            update_domains=update_domains,
+            update_url_prefix=update_prefix,
             batch_threshold=args.batch_threshold,
             max_batch_rounds=args.batch_max,
             **({"default_budget": args.budget} if args.budget is not None else {}),
@@ -222,9 +324,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "run":
             from .plans.pipeline import run_pipeline
 
-            pout = run_pipeline(spark, args.pages, seeds, robots, args.state, cfg)
-            for name in ("jars", "jar_cve", "cve", "cve_cwe", "cwe",
-                         "stage_lineage"):
+            scanner, generator, tool_meta = _build_scanners(args)
+            pout = run_pipeline(
+                spark, args.pages, seeds, robots, args.state, cfg,
+                scanner=scanner, generator=generator,
+                disable_syft=args.disable_syft,
+                disable_update_vuln=args.disable_update_vuln,
+                tool_meta=tool_meta,
+            )
+            for name in ("jars", "sboms", "scan_errors", "jar_cve", "cve",
+                         "cve_cwe", "cwe", "stage_lineage"):
                 getattr(pout, name).write.mode("overwrite").parquet(
                     os.path.join(args.out, name)
                 )
@@ -248,9 +357,29 @@ def main(argv: list[str] | None = None) -> int:
         print(f"rounds={out.final_round} seen={out.seen(spark).count()} "
               f"results={out.results(spark).count()} "
               f"elapsed={format_hms_py(time.time() - t0)}")
+    elif args.what == "sboms":
+        # reference export_sboms (graven_database.py:407-448): decompress
+        # each blob, package pretty-printed <jar_id>.json members into ONE
+        # graven_sbom_dump archive (single-writer artifact → driver-side)
+        from .functions.sbom import export_sbom_archive
+
+        if not args.enrich:
+            print("--what sboms requires --enrich (dir holding sboms/)")
+            return 1
+        if args.format not in ("zip", "tar.gz"):
+            print("--what sboms supports --format zip|tar.gz")
+            return 1
+        blobs = spark.read.parquet(os.path.join(args.enrich, "sboms")).select(
+            "jar_id", "sbom"
+        ).toPandas()
+        path = export_sbom_archive(blobs, args.out, args.format)
+        print(f"exported {len(blobs)} sboms → {path}")
     else:
         from .sources.checkpoint import RoundStore
 
+        if not args.state:
+            print("--what results requires --state")
+            return 1
         store = RoundStore(args.state)
         k = store.latest_round()
         if k is None:

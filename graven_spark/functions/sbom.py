@@ -1,0 +1,159 @@
+"""SBOM blob stage (S6 parity): compress one SBOM per jar into a BinaryType
+blob table, and the export-side decompress.
+
+Reference parity:
+- blob table shape: /root/reference/ddl/sbom.sql
+  ``sbom(jar_id PK, uploaded TIMESTAMP, sbom MEDIUMBLOB, run_id)``
+- compress-and-save: /root/reference/graven/worker/analyzer.py:46-59
+  ``_compress_and_save_sbom`` (zstandard, a fresh compressor per blob)
+- export decompress: /root/reference/graven/db/graven_database.py:407-448
+  ``export_sboms`` (zstd decompress → pretty-printed ``<jar_id>.json``)
+
+Codec: the reference uses ``zstandard``; this container does not ship it,
+so the codec is PLUGGABLE — zstandard when importable, zlib otherwise —
+and the chosen codec name is recorded alongside the blobs (meta column),
+so a reader never guesses. Both are deterministic byte streams for a given
+input, and the oracle contract is on the DECOMPRESSED payload (roundtrip),
+not the compressed bytes.
+
+Scale shape: compression is an Arrow-batched ``mapInPandas`` stage (a
+byte-level library call cannot be a Catalyst expression); everything else —
+fixture JSON construction, timestamps, hashing for the CORRECTNESS query —
+stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:  # the reference's codec (analyzer.py:52: zstd.ZstdCompressor)
+    import zstandard as _zstd
+
+    CODEC = "zstd"
+
+    def compress_bytes(b: bytes) -> bytes:
+        # fresh compressor per blob — sharing one "leads to buffer
+        # overflow" per the reference's own comment (analyzer.py:51)
+        return _zstd.ZstdCompressor().compress(b)
+
+    def decompress_bytes(b: bytes) -> bytes:
+        return _zstd.ZstdDecompressor().decompress(b)
+
+except ImportError:  # pragma: no cover - environment-dependent
+    import zlib as _zlib
+
+    CODEC = "zlib"
+
+    def compress_bytes(b: bytes) -> bytes:
+        return _zlib.compress(b, 6)
+
+    def decompress_bytes(b: bytes) -> bytes:
+        return _zlib.decompress(b)
+
+
+# Pinned stamp for the fixture stage (reference: uploaded DEFAULT
+# CURRENT_TIMESTAMP; wall-clock stamps are pinned engine-wide, F5).
+UPLOADED_TS = "2024-03-01T00:00:00Z"
+
+SBOM_SCHEMA = "jar_id string, uploaded timestamp, sbom binary, codec string, run_id string"
+
+
+def fixture_sbom_json(jar_id: Column) -> Column:
+    """Deterministic syft-document-shaped JSON for a jar (Catalyst twin of
+    :func:`fixture_sbom_json_py`): a one-artifact CycloneDX-ish document
+    derived only from jar_id, byte-identical on both sides."""
+    return F.concat(
+        F.lit('{"artifacts":[{"name":"'), jar_id,
+        F.lit('","type":"java-archive","digest":"'),
+        F.md5(F.concat(jar_id, F.lit("#sbom"))),
+        F.lit('"}],"source":{"type":"file","target":"'), jar_id,
+        F.lit('"},"descriptor":{"name":"syft","version":"fixture"}}'),
+    )
+
+
+def fixture_sbom_json_py(jar_id: str) -> str:
+    import hashlib
+
+    digest = hashlib.md5((jar_id + "#sbom").encode("utf-8")).hexdigest()
+    return (
+        '{"artifacts":[{"name":"%s","type":"java-archive","digest":"%s"}],'
+        '"source":{"type":"file","target":"%s"},'
+        '"descriptor":{"name":"syft","version":"fixture"}}'
+        % (jar_id, digest, jar_id)
+    )
+
+
+def compress_column(df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+    """Arrow-batched compression of a string column into BinaryType."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _compress(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else compress_bytes(v.encode("utf-8")))
+
+    return df.withColumn(out_col, _compress(F.col(text_col)))
+
+
+def decompress_column(df: DataFrame, bin_col: str, out_col: str) -> DataFrame:
+    """Arrow-batched decompress of a BinaryType column back to string."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _decompress(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else decompress_bytes(bytes(v)).decode("utf-8")
+        )
+
+    return df.withColumn(out_col, _decompress(F.col(bin_col)))
+
+
+def sbom_table(sbom_texts: DataFrame, run_id: str) -> DataFrame:
+    """(jar_id, sbom_json) → the reference's sbom blob table
+    (/root/reference/ddl/sbom.sql): jar_id PK, pinned uploaded stamp,
+    compressed BinaryType blob, codec marker, run_id."""
+    return compress_column(sbom_texts, "sbom_json", "sbom").select(
+        "jar_id",
+        F.to_timestamp(F.lit(UPLOADED_TS)).alias("uploaded"),
+        "sbom",
+        F.lit(CODEC).alias("codec"),
+        F.lit(run_id).alias("run_id"),
+    )
+
+
+def export_sbom_archive(sboms_pdf, out_dir: str, compression_method: str) -> str:
+    """Driver-side archive packaging of decompressed SBOM blobs — the
+    reference's export_sboms (graven_database.py:407-448): pretty-printed
+    ``<jar_id>.json`` members in ``graven_sbom_dump.{zip,tar.gz}``. The
+    archive container is inherently a single-writer artifact; the blobs
+    arrive as a pandas frame of (jar_id, sbom) pairs. Returns the path."""
+    import io
+    import os
+    import tarfile
+    import zipfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"graven_sbom_dump.{compression_method}")
+    if compression_method == "zip":
+        opener = zipfile.ZipFile(out_path, "w", compression=zipfile.ZIP_DEFLATED)
+    else:
+        opener = tarfile.open(out_path, "w:gz")
+    with opener as export:
+        for jar_id, blob in sorted(
+            zip(sboms_pdf["jar_id"], sboms_pdf["sbom"]), key=lambda t: t[0]
+        ):
+            sbom_json = json.loads(decompress_bytes(bytes(blob)))
+            json_bytes = json.dumps(sbom_json, indent=2).encode("utf-8")
+            if compression_method == "zip":
+                export.writestr(f"{jar_id}.json", json_bytes)
+            else:
+                info = tarfile.TarInfo(name=f"{jar_id}.json")
+                info.size = len(json_bytes)
+                export.addfile(info, fileobj=io.BytesIO(json_bytes))
+    return out_path

@@ -205,8 +205,11 @@ def crawl(
     robots: DataFrame | None,
     state_dir: str,
     cfg: CrawlConfig | None = None,
+    tool_meta: dict | None = None,
 ) -> CrawlOutputs:
-    """Run (or resume) a crawl to completion; returns output handles."""
+    """Run (or resume) a crawl to completion; returns output handles.
+    ``tool_meta``: run_log scanner-metadata columns (syft_version /
+    grype_version / grype_db_source, /root/reference/ddl/0_run_log.sql)."""
     cfg = cfg or CrawlConfig()
     store = RoundStore(state_dir, compact_every=cfg.compact_every,
                        seen_buckets=cfg.seen_buckets)
@@ -220,14 +223,14 @@ def crawl(
         if cfg.update_domains:
             meta = _reopen_domains(spark, store, k, seeds, robots, cfg)
             k = meta.round
-        if cfg.update_url_prefix:
+        if cfg.update_url_prefix is not None:  # "" = every url (--update)
             meta = _update_urls(spark, store, k, pages_path, cfg)
             k = meta.round
 
     # run_log bracket (reference log_run_start/log_run_end,
     # graven_database.py:353-377): opening also closes any dangling prior
     # run as KILLED — the crash-safe analog of the reference's UPDATE.
-    seq = store.log_run_start(cfg.run_id, k)
+    seq = store.log_run_start(cfg.run_id, k, tool_meta=tool_meta)
     while meta.frontier_count > 0 and meta.round < cfg.max_rounds:
         meta = run_round(spark, store, pages_path, robots, cfg, meta.round)
         store.maybe_compact_seen(spark, meta.round)

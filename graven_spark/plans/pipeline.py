@@ -275,7 +275,9 @@ def _jar_key(r: dict) -> tuple:
 class PipelineOutputs:
     crawl: CrawlOutputs
     jars: DataFrame       # jar table (jar_id PK)
+    sboms: DataFrame      # sbom blob table (S6; /root/reference/ddl/sbom.sql)
     reports: DataFrame    # scanner stage output (jar_id, report_json)
+    scan_errors: DataFrame  # errors-style rows from failed real scans
     jar_cve: DataFrame    # jar__cve assoc
     cve: DataFrame        # cve table (cve_id PK, found flag, enrichment)
     cve_cwe: DataFrame    # cve__cwe assoc
@@ -285,30 +287,83 @@ class PipelineOutputs:
 
 def enrich_from_results(
     spark: SparkSession, results: DataFrame, run_id: str,
-    scanner=None,
+    scanner=None, generator=None,
+    disable_syft: bool = False, disable_update_vuln: bool = False,
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """The process/update-vuln stages as one dataflow over a results table
     (usable standalone — the reference's ``process`` command shape).
 
-    ``scanner``: jars-DataFrame → (jar_id, report_json) DataFrame. Defaults
-    to the deterministic fixture; a real deployment passes a
-    ``mapInPandas`` wrapper that shells out to grype per batch
-    (reference scanner.py — the external binary is the only stubbed part)."""
-    jars = jar_table(results, run_id)
+    ``scanner``: jars-DataFrame → reports. Defaults to the deterministic
+    fixture; a real deployment passes
+    ``operators.scanner.subprocess_scanner([...grype argv...])`` — its
+    4-column output (exit_code/error) is split into ok reports +
+    errors-style ``scan_errors`` rows here.
+    ``generator``: jars-DataFrame → (jar_id, sbom_json) — the syft stage
+    (reference generator.py); defaults to the deterministic fixture SBOM.
+    ``disable_syft``: skip the generator — the sboms table is empty and
+    scanning proceeds directly on the jars, exactly the reference's
+    ``--disable-syft`` (grype scans the jar when no SBOM exists,
+    __main__.py:75-79).
+    ``disable_update_vuln``: skip the NVD enrichment source — every
+    discovered CVE id lands found=false with null enrichment (the state the
+    reference's cve table is in before the vuln worker runs,
+    ``--disable-update-vuln``); the cwe stages are then naturally empty.
+    ``persist``: eagerly localCheckpoint the stage boundaries (jars,
+    reports, cve) so each stage executes EXACTLY ONCE no matter how many
+    output tables are written afterwards — with a real subprocess scanner
+    plugged in, re-executing the scanner once per downstream table write
+    would re-shell-out per jar per table. On a cluster deployment swap
+    localCheckpoint for write-then-read against the output store (the
+    ``process``/``update-vuln`` CLI paths already do exactly that).
+    """
+    from ..functions.sbom import SBOM_SCHEMA, fixture_sbom_json, sbom_table
+    from ..operators.scanner import split_scan_failures
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if persist else df
+
+    jars = _pin(jar_table(results, run_id))
+
+    if disable_syft:
+        sboms = spark.createDataFrame([], SBOM_SCHEMA)
+    else:
+        if generator is None:
+            def generator(j):
+                return j.select(
+                    "jar_id", fixture_sbom_json(F.col("jar_id")).alias("sbom_json")
+                )
+        sboms = _pin(sbom_table(generator(jars), run_id))
+
     if scanner is None:
         def scanner(j):
             return j.select(
                 "jar_id", fixture_report(F.col("jar_id")).alias("report_json")
             )
-    reports = scanner(jars)
+    scanned = scanner(jars)
+    if "exit_code" in scanned.columns:
+        reports, scan_errors = split_scan_failures(scanned, run_id)
+        reports = _pin(reports)
+        scan_errors = _pin(scan_errors)
+    else:
+        reports = _pin(scanned)
+        scan_errors = spark.createDataFrame(
+            [], "round int, url string, stage string, reason string, details string"
+        )
     matches = flatten_grype(reports)
     jar_cve = jar_cve_assoc(matches, run_id)
     ids = matches.select(F.col("vuln_id").alias("cve_id")).distinct()
-    nvd_raw = ids.filter(~nvd_miss(F.col("cve_id"))).select(
-        fixture_nvd(F.col("cve_id")).alias("nvd_json")
-    )
-    parsed = parse_nvd(nvd_raw)
-    cve = nvd_batch_lookup(ids, parsed).withColumn("run_id", F.lit(run_id))
+    if disable_update_vuln:
+        parsed = spark.createDataFrame(
+            [], "cve_id string, description_en string, base_score double, "
+                "cwes array<string>"
+        )
+    else:
+        nvd_raw = ids.filter(~nvd_miss(F.col("cve_id"))).select(
+            fixture_nvd(F.col("cve_id")).alias("nvd_json")
+        )
+        parsed = parse_nvd(nvd_raw)
+    cve = _pin(nvd_batch_lookup(ids, parsed).withColumn("run_id", F.lit(run_id)))
     cve_cwe = cve_cwe_assoc(cve.select("cve_id", "cwes")).withColumn(
         "run_id", F.lit(run_id)
     )
@@ -317,7 +372,8 @@ def enrich_from_results(
     )
     cwe = parse_cwe_page(cwe_pages).withColumn("run_id", F.lit(run_id))
     return {
-        "jars": jars, "reports": reports, "jar_cve": jar_cve,
+        "jars": jars, "sboms": sboms, "reports": reports,
+        "scan_errors": scan_errors, "jar_cve": jar_cve,
         "cve": cve, "cve_cwe": cve_cwe, "cwe": cwe,
     }
 
@@ -337,6 +393,7 @@ def stage_lineage_from(
     return (
         _stage_row(results, run_id, "crawler")
         .unionByName(_stage_row(t["jars"], run_id, "downloader"))
+        .unionByName(_stage_row(t["sboms"], run_id, "generator"))
         .unionByName(_stage_row(t["reports"], run_id, "scanner"))
         .unionByName(_stage_row(t["jar_cve"], run_id, "analyzer"))
         .unionByName(_stage_row(t["cve"], run_id, "vuln_fetcher"))
@@ -351,15 +408,29 @@ def run_pipeline(
     robots: DataFrame | None,
     state_dir: str,
     cfg: CrawlConfig | None = None,
+    scanner=None,
+    generator=None,
+    disable_syft: bool = False,
+    disable_update_vuln: bool = False,
+    tool_meta: dict | None = None,
 ) -> PipelineOutputs:
-    """``graven run``: crawl + process + update-vuln, composed."""
+    """``graven run``: crawl + process + update-vuln, composed. The stage
+    toggles mirror the reference CLI (__main__.py:51-88): ``disable_syft``
+    skips SBOM generation, ``disable_update_vuln`` skips NVD enrichment.
+    ``tool_meta`` (syft_version/grype_version/grype_db_source) lands in the
+    run_log row (/root/reference/ddl/0_run_log.sql)."""
     cfg = cfg or CrawlConfig()
-    out = crawl(spark, pages_path, seeds, robots, state_dir, cfg)
+    out = crawl(spark, pages_path, seeds, robots, state_dir, cfg,
+                tool_meta=tool_meta)
     results = out.results(spark)
-    t = enrich_from_results(spark, results, cfg.run_id)
+    t = enrich_from_results(
+        spark, results, cfg.run_id, scanner=scanner, generator=generator,
+        disable_syft=disable_syft, disable_update_vuln=disable_update_vuln,
+    )
     stage_lineage = stage_lineage_from(results, t, cfg.run_id)
     return PipelineOutputs(
-        crawl=out, jars=t["jars"], reports=t["reports"], jar_cve=t["jar_cve"],
+        crawl=out, jars=t["jars"], sboms=t["sboms"], reports=t["reports"],
+        scan_errors=t["scan_errors"], jar_cve=t["jar_cve"],
         cve=t["cve"], cve_cwe=t["cve_cwe"], cwe=t["cwe"],
         stage_lineage=stage_lineage,
     )
@@ -406,8 +477,16 @@ def update_vuln(
 def pipeline_oracle(result_urls: list[tuple[str, object]], run_id: str) -> dict:
     """Reference-faithful single-threaded enrichment over crawl results
     (the oracle twin of :func:`enrich_from_results`): returns the expected
-    jar / jar_cve / cve / cve_cwe / cwe tables as sorted lists of dicts."""
+    jar / sbom / jar_cve / cve / cve_cwe / cwe tables as sorted lists of
+    dicts. The sbom entry carries the DECOMPRESSED payload (the roundtrip
+    contract — codec bytes are implementation detail, the payload is not)."""
+    from ..functions.sbom import fixture_sbom_json_py
+
     jars = jar_table_py(result_urls)
+    sboms = [
+        {"jar_id": j["jar_id"], "sbom_json": fixture_sbom_json_py(j["jar_id"])}
+        for j in jars
+    ]
     jar_cve = set()
     all_cves = set()
     for jar in jars:
@@ -455,6 +534,7 @@ def pipeline_oracle(result_urls: list[tuple[str, object]], run_id: str) -> dict:
         })
     return {
         "jars": jars,
+        "sboms": sboms,
         "jar_cve": sorted(jar_cve),
         "cve": cve_rows,
         "cve_cwe": sorted(cve_cwe),

@@ -73,11 +73,19 @@ RESULTS_SCHEMA = (
 ERRORS_SCHEMA = "round int, url string, stage string, reason string, details string"
 # Folded run-lifecycle rows (reference run_log,
 # /root/reference/ddl/0_run_log.sql + graven_database.py:353-377: one row
-# per invocation, start/end stamps + exit code).
+# per invocation, start/end stamps + exit_code INTEGER + tool metadata
+# columns syft_version / grype_version / grype_db_source).
 RUN_LOG_SCHEMA = (
     "seq int, run_id string, start_round int, end_round int, "
-    "exit_status string, started_at string, ended_at string"
+    "exit_status string, exit_code int, started_at string, ended_at string, "
+    "syft_version string, grype_version string, grype_db_source string"
 )
+
+# exit code stamped on a dangling run closed as KILLED by the next
+# invocation (128+SIGKILL — the conventional shell encoding; the reference
+# records the pipeline's exit code via log_run_end, a killed process never
+# reaches it, so the closer supplies the code)
+KILLED_EXIT_CODE = 137
 LINEAGE_SCHEMA = (
     "run_id string, round int, partition_id int, "
     "urls_in bigint, urls_out bigint, bytes_fetched bigint"
@@ -412,9 +420,15 @@ class RoundStore:
             json.dump(evt, f)
         os.replace(tmp, os.path.join(d, name))
 
-    def log_run_start(self, run_id: str, start_round: int) -> int:
+    def log_run_start(
+        self, run_id: str, start_round: int, tool_meta: dict | None = None
+    ) -> int:
         """Open a run; returns its seq. Any dangling (crashed) prior run is
-        closed as KILLED at the latest committed round first."""
+        closed as KILLED (exit_code 137) at the latest committed round
+        first. ``tool_meta``: the reference run_log's scanner metadata —
+        syft_version / grype_version / grype_db_source
+        (/root/reference/ddl/0_run_log.sql; populated from the scanner
+        wrappers' version probes, anchore/syft.py:94-105)."""
         events = self._run_log_events()
         ended = {e["seq"] for e in events if e["event"] == "end"}
         latest = self.latest_round()
@@ -422,24 +436,32 @@ class RoundStore:
             if e["event"] == "start" and e["seq"] not in ended:
                 self._write_run_event({
                     "seq": e["seq"], "event": "end", "round": latest,
-                    "exit_status": "KILLED",
+                    "exit_status": "KILLED", "exit_code": KILLED_EXIT_CODE,
                 })
         seq = max((e["seq"] for e in events), default=-1) + 1
-        self._write_run_event({
+        evt = {
             "seq": seq, "event": "start", "round": start_round, "run_id": run_id,
-        })
+        }
+        for key in ("syft_version", "grype_version", "grype_db_source"):
+            if tool_meta and tool_meta.get(key) is not None:
+                evt[key] = tool_meta[key]
+        self._write_run_event(evt)
         return seq
 
-    def log_run_end(self, seq: int, end_round: int, exit_status: str = "OK") -> None:
+    def log_run_end(
+        self, seq: int, end_round: int, exit_status: str = "OK",
+        exit_code: int = 0,
+    ) -> None:
         self._write_run_event({
             "seq": seq, "event": "end", "round": end_round,
-            "exit_status": exit_status,
+            "exit_status": exit_status, "exit_code": exit_code,
         })
 
     def read_run_log(self, spark: SparkSession) -> DataFrame:
         """Folded lifecycle table: one row per invocation; a run with no end
         event yet is RUNNING (it either still is, or will be closed KILLED
-        by the next invocation)."""
+        by the next invocation). exit_code: 0 OK, 137 KILLED, the failing
+        stage's code otherwise; NULL while RUNNING."""
         starts: dict[int, dict] = {}
         ends: dict[int, dict] = {}
         for e in self._run_log_events():
@@ -451,7 +473,10 @@ class RoundStore:
                 seq, s.get("run_id"), s["round"],
                 e["round"] if e else None,
                 e["exit_status"] if e else "RUNNING",
+                e.get("exit_code") if e else None,
                 s["ts"], e["ts"] if e else None,
+                s.get("syft_version"), s.get("grype_version"),
+                s.get("grype_db_source"),
             ))
         return spark.createDataFrame(rows, RUN_LOG_SCHEMA)
 

@@ -20,11 +20,13 @@ from ..functions.extract import extract_text
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def stream_extract(spark: SparkSession, pages_dir: str) -> DataFrame:
+def stream_extract(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """Streaming DataFrame: pages → (url, text, lang) via the Arrow UDF."""
     stream = (
         spark.readStream.schema(PAGES_DDL)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(pages_dir)
     )
     return stream.select(
@@ -77,7 +79,15 @@ def stream_host_budget(
     current window's allowance (conservative: late data can never overspend
     a closed window). Each batch admits rows in (warc_ts, url) order and
     emits (url, host, warc_ts). At scale state is hash-partitioned by host
-    and checkpointed by the engine — no driver residency."""
+    and checkpointed by the engine — no driver residency.
+
+    State-schema compatibility: the state struct is
+    ``(win_start long, taken long)`` since the windowed refresh landed
+    (previously ``taken long`` alone). A streaming checkpoint written by the
+    old single-field schema CANNOT resume against this operator — restart
+    such a query with a fresh checkpoint directory (the state encodes only
+    in-window consumption, so the cost is one window's over-admission at
+    worst)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -122,6 +132,71 @@ def stream_host_budget(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_extract_to_sink(
+    spark: SparkSession,
+    pages_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Exactly-once streaming sink — the streaming analog of the batch
+    round-commit protocol (sources/checkpoint.py): each micro-batch's
+    extracted rows land under ``batch_NNNNNN/`` with a ``_COMMIT`` marker
+    written LAST, via ``foreachBatch`` keyed on the engine's batch_id.
+
+    Exactly-once reasoning: Structured Streaming replays a crashed batch
+    with the SAME batch_id (offsets are checkpointed before execution, the
+    commit log after), so the writer only needs batch-id idempotence:
+    - crash before the sink ``_COMMIT`` → the partial dir is overwritten by
+      the replay (mode=overwrite), marker still written last;
+    - crash between sink commit and the engine's checkpoint commit → the
+      replayed batch sees its own marker and SKIPS the write entirely —
+      no duplicate rows;
+    - readers (:func:`read_stream_sink`) only see marker-committed dirs.
+
+    Runs with ``availableNow`` (drain-what-exists; restart to pick up new
+    files). Returns the started StreamingQuery; callers await it."""
+    import os
+
+    extracted = stream_extract(spark, pages_dir, max_files_per_trigger)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        d = os.path.join(sink_dir, f"batch_{batch_id:06d}")
+        marker = os.path.join(d, "_COMMIT")
+        if os.path.exists(marker):
+            return  # replayed, already-committed batch: exactly-once skip
+        df.write.mode("overwrite").parquet(d)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    return (
+        extracted.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Committed batches only (marker present) — a crashed batch's partial
+    parquet is invisible, exactly like the batch store's round reader."""
+    import os
+
+    paths = sorted(
+        os.path.join(sink_dir, d)
+        for d in os.listdir(sink_dir)
+        if d.startswith("batch_")
+        and os.path.exists(os.path.join(sink_dir, d, "_COMMIT"))
+    )
+    if not paths:
+        return spark.createDataFrame(
+            [], "url string, text string, lang string, warc_ts timestamp"
+        )
+    return spark.read.schema(
+        "url string, text string, lang string, warc_ts timestamp"
+    ).parquet(*paths)
 
 
 def run_to_memory(spark: SparkSession, df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:

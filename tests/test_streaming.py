@@ -110,3 +110,75 @@ def test_stream_host_budget_windowed_refresh_across_batches(spark, tmp_path):
     )
     got = sorted(r.url for r in out.collect())
     assert got == ["u0", "u1", "u2", "v0", "v1", "v2"]
+
+
+def test_stream_sink_exactly_once_across_kill_and_resume(spark, smoke_graph, tmp_path):
+    """foreachBatch round-commit protocol (stream_extract_to_sink): a batch
+    whose sink committed but whose engine checkpoint-commit was lost (the
+    kill window between the two) is REPLAYED by Structured Streaming on
+    restart with the same batch_id — the marker makes the replay a no-op,
+    so the sink holds every page exactly once."""
+    import os
+    import shutil
+
+    from graven_spark.streaming.pipeline import (
+        read_stream_sink,
+        stream_extract_to_sink,
+    )
+
+    pages_dir = str(tmp_path / "pages_eo")
+    sink_dir = str(tmp_path / "sink")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(pages_dir)
+    os.makedirs(sink_dir)
+    pages = smoke_graph.pages
+    half = len(pages) // 2
+    first, second = pages.iloc[:half], pages.iloc[half:]
+    spark.createDataFrame(first).repartition(4).write.mode("overwrite").parquet(
+        str(tmp_path / "stage1")
+    )
+    for f in os.listdir(str(tmp_path / "stage1")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(str(tmp_path / "stage1"), f), pages_dir)
+
+    q = stream_extract_to_sink(spark, pages_dir, sink_dir, ckpt_dir,
+                               max_files_per_trigger=2)
+    q.awaitTermination()
+    committed = sorted(
+        d for d in os.listdir(sink_dir)
+        if os.path.exists(os.path.join(sink_dir, d, "_COMMIT"))
+    )
+    assert len(committed) >= 2  # several micro-batches actually ran
+    rows1 = read_stream_sink(spark, sink_dir).count()
+    assert rows1 == len(first)
+
+    # kill simulation: the engine's commit for the LAST batch is lost, the
+    # sink's own commit survived — precisely the crash window that breaks
+    # at-least-once sinks with duplicates
+    last_batch = max(
+        int(f) for f in os.listdir(os.path.join(ckpt_dir, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt_dir, "commits", str(last_batch)))
+    crc = os.path.join(ckpt_dir, "commits", f".{last_batch}.crc")
+    if os.path.exists(crc):  # hadoop local-fs checksum sidecar
+        os.remove(crc)
+
+    # new files arrive; the resumed query replays the uncommitted batch
+    # first, then drains the new data
+    spark.createDataFrame(second).repartition(4).write.mode("overwrite").parquet(
+        str(tmp_path / "stage2")
+    )
+    for f in os.listdir(str(tmp_path / "stage2")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(str(tmp_path / "stage2"), f), pages_dir)
+    q2 = stream_extract_to_sink(spark, pages_dir, sink_dir, ckpt_dir,
+                                max_files_per_trigger=2)
+    q2.awaitTermination()
+
+    sink = read_stream_sink(spark, sink_dir)
+    assert sink.count() == len(pages)  # nothing missing
+    assert sink.select("url").distinct().count() == len(pages)  # no dupes
+    got = {r.url: r.text for r in sink.collect()}
+    want = dict(zip(pages.url, pages.text))
+    assert got == want
