@@ -121,6 +121,13 @@ def _build_scanners(args):
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="graven_spark")
+    # reference top-level logging options (cli_parser.py: --silent overrides
+    # --log-level), mapped onto the Spark log level
+    p.add_argument("--log-level", default=None,
+                   choices=["ALL", "DEBUG", "INFO", "WARN", "ERROR", "OFF"],
+                   help="spark log level")
+    p.add_argument("--silent", action="store_true",
+                   help="suppress engine logging (overrides --log-level)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add_crawl_args(c):
@@ -225,6 +232,17 @@ def main(argv: list[str] | None = None) -> int:
                          "defaults to the deterministic fixture source")
     uv.add_argument("--run-id", default="run1")
 
+    st = sub.add_parser(
+        "stream",
+        help="continuous extraction over an arriving pages directory into an "
+             "exactly-once batch-committed sink (Structured Streaming, "
+             "availableNow drain; re-run to pick up new files)",
+    )
+    st.add_argument("--pages", required=True, help="pages parquet directory")
+    st.add_argument("--sink", required=True, help="sink directory (batch_N dirs)")
+    st.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+    st.add_argument("--max-files-per-trigger", type=int, default=4)
+
     e = sub.add_parser(
         "export",
         help="export crawl results, or the sbom blob table as a "
@@ -241,6 +259,10 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     spark = build_session(app_name=f"graven_spark_{args.cmd}")
+    if args.silent:
+        spark.sparkContext.setLogLevel("OFF")
+    elif args.log_level:
+        spark.sparkContext.setLogLevel(args.log_level)
     import time
 
     from .functions.duration import format_hms_py
@@ -263,6 +285,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"updated {counts} found={n_found} "
               f"elapsed={format_hms_py(time.time() - t0)}")
+        return 0
+
+    if args.cmd == "stream":
+        import os as _os
+
+        from .streaming.pipeline import read_stream_sink, stream_extract_to_sink
+
+        _os.makedirs(args.sink, exist_ok=True)
+        q = stream_extract_to_sink(
+            spark, args.pages, args.sink, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+        n = read_stream_sink(spark, args.sink).count()
+        print(f"sink holds {n} rows elapsed={format_hms_py(time.time() - t0)}")
         return 0
 
     if args.cmd == "process":

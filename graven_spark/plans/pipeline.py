@@ -346,13 +346,13 @@ def enrich_from_results(
             return j.select(
                 "jar_id", fixture_report(F.col("jar_id")).alias("report_json")
             )
-    scanned = scanner(jars)
+    # pin the RAW scanner output before any split: pinning the two split
+    # branches separately would execute the scanner once per branch
+    scanned = _pin(scanner(jars))
     if "exit_code" in scanned.columns:
         reports, scan_errors = split_scan_failures(scanned, run_id)
-        reports = _pin(reports)
-        scan_errors = _pin(scan_errors)
     else:
-        reports = _pin(scanned)
+        reports = scanned
         scan_errors = spark.createDataFrame(
             [], "round int, url string, stage string, reason string, details string"
         )

@@ -217,6 +217,30 @@ def test_pipeline_stages_execute_exactly_once(spark, tmp_path):
     assert n_jars == 6
     assert acc.value == n_jars  # not 6× or 12× — each stage ran once
 
+    # the 4-column (real subprocess scanner) path must also run once: the
+    # ok/failure SPLIT happens after the pin, not before
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def counting_scanner4(jars):
+        def gen(batches):
+            for pdf in batches:
+                acc2.add(len(pdf))
+                yield pd.DataFrame({
+                    "jar_id": pdf["jar_id"],
+                    "report_json": [fixture_report_py(j) for j in pdf["jar_id"]],
+                    "exit_code": [0] * len(pdf),
+                    "error": [None] * len(pdf),
+                })
+        return jars.select("jar_id").mapInPandas(
+            gen, "jar_id string, report_json string, exit_code int, error string"
+        )
+
+    t2 = enrich_from_results(spark, results, "run0", scanner=counting_scanner4)
+    for name, df in t2.items():
+        df.write.mode("overwrite").parquet(str(tmp_path / ("b_" + name)))
+    stage_lineage_from(results, t2, "run0").collect()
+    assert acc2.value == n_jars
+
 
 # -- stage toggles (reference __main__.py:51-88) ------------------------------
 
@@ -383,3 +407,28 @@ def test_cli_update_flag_recrawls_everything(spark, tmp_path):
         for r in store.read_results(spark, k2).select("url", "text").collect()
     }
     assert res2 == res1
+
+
+def test_cli_stream_drain_and_incremental(spark, smoke_graph, tmp_path):
+    """`stream` drains what exists into committed batch dirs; a second
+    invocation with the same checkpoint picks up only new files (no dupes)."""
+    from graven_spark.__main__ import main
+    from graven_spark.streaming.pipeline import read_stream_sink
+
+    pages_dir = str(tmp_path / "pages")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    half = len(smoke_graph.pages) // 2
+    spark.createDataFrame(smoke_graph.pages.iloc[:half]).coalesce(2).write.mode(
+        "append").parquet(pages_dir)
+    assert main(["stream", "--pages", pages_dir, "--sink", sink,
+                 "--checkpoint", ckpt]) == 0
+    assert read_stream_sink(spark, sink).count() == half
+
+    spark.createDataFrame(smoke_graph.pages.iloc[half:]).coalesce(2).write.mode(
+        "append").parquet(pages_dir)
+    assert main(["stream", "--pages", pages_dir, "--sink", sink,
+                 "--checkpoint", ckpt]) == 0
+    out = read_stream_sink(spark, sink)
+    assert out.count() == len(smoke_graph.pages)
+    assert out.select("url").distinct().count() == len(smoke_graph.pages)
