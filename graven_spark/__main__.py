@@ -406,11 +406,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.format not in ("zip", "tar.gz"):
             print("--what sboms supports --format zip|tar.gz")
             return 1
+        # stream blobs through the driver one at a time (toLocalIterator over
+        # a jar_id-ordered frame: deterministic member order, O(1 blob)
+        # driver memory — a collected frame would OOM at millions of jars)
         blobs = spark.read.parquet(os.path.join(args.enrich, "sboms")).select(
             "jar_id", "sbom"
-        ).toPandas()
-        path = export_sbom_archive(blobs, args.out, args.format)
-        print(f"exported {len(blobs)} sboms → {path}")
+        ).orderBy("jar_id")
+        n = 0
+
+        def rows():
+            nonlocal n
+            for r in blobs.toLocalIterator():
+                n += 1
+                yield r.jar_id, r.sbom
+
+        path = export_sbom_archive(rows(), args.out, args.format)
+        print(f"exported {n} sboms → {path}")
     else:
         from .sources.checkpoint import RoundStore
 

@@ -127,12 +127,17 @@ def sbom_table(sbom_texts: DataFrame, run_id: str) -> DataFrame:
     )
 
 
-def export_sbom_archive(sboms_pdf, out_dir: str, compression_method: str) -> str:
+def export_sbom_archive(sbom_rows, out_dir: str, compression_method: str) -> str:
     """Driver-side archive packaging of decompressed SBOM blobs — the
     reference's export_sboms (graven_database.py:407-448): pretty-printed
     ``<jar_id>.json`` members in ``graven_sbom_dump.{zip,tar.gz}``. The
-    archive container is inherently a single-writer artifact; the blobs
-    arrive as a pandas frame of (jar_id, sbom) pairs. Returns the path."""
+    archive container is inherently a single-writer sequential artifact
+    (exactly as in the reference), so the driver streams ``sbom_rows`` —
+    any iterable of (jar_id, sbom_bytes) pairs, e.g.
+    ``((r.jar_id, r.sbom) for r in df.orderBy("jar_id").toLocalIterator())``
+    — holding ONE blob in memory at a time; never pass a collected frame.
+    Member order is the iteration order (callers sort by jar_id for a
+    deterministic archive). Returns the archive path."""
     import io
     import os
     import tarfile
@@ -145,9 +150,7 @@ def export_sbom_archive(sboms_pdf, out_dir: str, compression_method: str) -> str
     else:
         opener = tarfile.open(out_path, "w:gz")
     with opener as export:
-        for jar_id, blob in sorted(
-            zip(sboms_pdf["jar_id"], sboms_pdf["sbom"]), key=lambda t: t[0]
-        ):
+        for jar_id, blob in sbom_rows:
             sbom_json = json.loads(decompress_bytes(bytes(blob)))
             json_bytes = json.dumps(sbom_json, indent=2).encode("utf-8")
             if compression_method == "zip":

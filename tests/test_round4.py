@@ -58,16 +58,21 @@ def test_sbom_archive_export_both_formats(tmp_path, spark):
     from graven_spark.functions.sbom import export_sbom_archive, fixture_sbom_json_py
 
     t = enrich_from_results(spark, _results_df(spark), "run0")
-    pdf = t["sboms"].select("jar_id", "sbom").toPandas()
-    want = {j: json.loads(fixture_sbom_json_py(j)) for j in pdf["jar_id"]}
+    def pairs():  # the streaming-iterator contract (one blob at a time)
+        for r in t["sboms"].select("jar_id", "sbom").orderBy("jar_id").toLocalIterator():
+            yield r.jar_id, r.sbom
+    want = {
+        r.jar_id: json.loads(fixture_sbom_json_py(r.jar_id))
+        for r in t["jars"].collect()
+    }
 
-    zpath = export_sbom_archive(pdf, str(tmp_path / "z"), "zip")
+    zpath = export_sbom_archive(pairs(), str(tmp_path / "z"), "zip")
     assert zpath.endswith("graven_sbom_dump.zip")
     with zipfile.ZipFile(zpath) as z:
         got = {n[:-5]: json.loads(z.read(n)) for n in z.namelist()}
     assert got == want
 
-    tpath = export_sbom_archive(pdf, str(tmp_path / "t"), "tar.gz")
+    tpath = export_sbom_archive(pairs(), str(tmp_path / "t"), "tar.gz")
     with tarfile.open(tpath, "r:gz") as tf:
         got = {
             m.name[:-5]: json.loads(tf.extractfile(m).read()) for m in tf.getmembers()
@@ -432,3 +437,39 @@ def test_cli_stream_drain_and_incremental(spark, smoke_graph, tmp_path):
     out = read_stream_sink(spark, sink)
     assert out.count() == len(smoke_graph.pages)
     assert out.select("url").distinct().count() == len(smoke_graph.pages)
+
+
+def test_jar_limit_batched_equals_plain(spark, tmp_path):
+    """--jar-limit composes with adaptive round batching: the cap applies
+    per LOGICAL depth inside a batch, so batched and unbatched runs with the
+    same cap yield identical seen/results/errors/domains."""
+    from graven_spark.plans.driver import crawl
+    from graven_spark.plans.frontier import CrawlConfig
+    from graven_spark.operators.bloom import BloomSpec
+    from graven_spark.sources.synth import generate_graph, mini_specs
+
+    g = generate_graph(mini_specs())
+    pages = str(tmp_path / "pages.parquet")
+    g.pages.to_parquet(pages, index=False)
+    seeds = spark.createDataFrame(g.seeds)
+
+    def cfg(**kw):
+        return CrawlConfig(
+            use_bloom=True, bloom=BloomSpec(n_buckets=4, bits_per_shard=1 << 16),
+            jar_limit=5, **kw,
+        )
+
+    plain = crawl(spark, pages, seeds, None, str(tmp_path / "plain"), cfg())
+    batched = crawl(spark, pages, seeds, None, str(tmp_path / "batched"),
+                    cfg(batch_threshold=10_000, max_batch_rounds=8))
+    assert len(batched.store.committed_rounds()) < len(plain.store.committed_rounds())
+    assert sorted(r.url for r in plain.seen(spark).collect()) == sorted(
+        r.url for r in batched.seen(spark).collect()
+    )
+    for getter in ("results", "errors", "domains"):
+        p = sorted(tuple(r) for r in getattr(plain, getter)(spark).collect())
+        b = sorted(tuple(r) for r in getattr(batched, getter)(spark).collect())
+        assert p == b, getter
+    # the cap really bit at every depth
+    lin = plain.lineage(spark).groupBy("round").sum("urls_in").collect()
+    assert all(r["sum(urls_in)"] <= 5 for r in lin)
