@@ -288,11 +288,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "stream":
-        import os as _os
-
         from .streaming.pipeline import read_stream_sink, stream_extract_to_sink
 
-        _os.makedirs(args.sink, exist_ok=True)
+        os.makedirs(args.sink, exist_ok=True)
         q = stream_extract_to_sink(
             spark, args.pages, args.sink, args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,

@@ -130,6 +130,8 @@ def crawl_oracle(
                 "frontier non-empty but nothing selected — politeness "
                 "budget must be ≥ 1 per active host"
             )
+        if jar_limit is not None and jar_limit < 1:
+            raise ValueError("jar_limit must be >= 1")
         if jar_limit is not None and len(selected) > jar_limit:
             # T3 global cap: over-limit rows defer with priority intact
             deferred = deferred + selected[jar_limit:]

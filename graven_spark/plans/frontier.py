@@ -264,6 +264,11 @@ def _round_dataflow(
     # -- global per-round cap (T3, cfg.jar_limit): rows ranked past the cap
     # defer with priority intact; the rank is already global, so the cap is
     # one filter — no extra shuffle, no second ordering pass
+    if cfg.jar_limit is not None and cfg.jar_limit < 1:
+        raise ValueError(
+            "jar_limit must be >= 1 — a cap of 0 defers every selected URL "
+            "forever (no round can make progress)"
+        )
     if cfg.jar_limit is not None and n_selected > cfg.jar_limit:
         deferred = deferred.unionByName(
             ranked.filter(F.col("fifo_rank") >= cfg.jar_limit).select(*FRONTIER_COLS)

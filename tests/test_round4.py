@@ -473,3 +473,22 @@ def test_jar_limit_batched_equals_plain(spark, tmp_path):
     # the cap really bit at every depth
     lin = plain.lineage(spark).groupBy("round").sum("urls_in").collect()
     assert all(r["sum(urls_in)"] <= 5 for r in lin)
+
+
+def test_jar_limit_zero_rejected(spark, tmp_path):
+    """A cap of 0 can never make progress — fail fast in engine and oracle
+    rather than spinning no-op rounds to max_rounds."""
+    from graven_spark.oracle import crawl_oracle
+    from graven_spark.plans.driver import crawl
+    from graven_spark.plans.frontier import CrawlConfig
+    from graven_spark.sources.synth import generate_graph, smoke_specs
+
+    g = generate_graph(smoke_specs())
+    pages = str(tmp_path / "pages.parquet")
+    g.pages.to_parquet(pages, index=False)
+    seeds = spark.createDataFrame(g.seeds)
+    with pytest.raises(ValueError, match="jar_limit"):
+        crawl(spark, pages, seeds, None, str(tmp_path / "state"),
+              CrawlConfig(use_bloom=False, jar_limit=0))
+    with pytest.raises(ValueError, match="jar_limit"):
+        crawl_oracle({}, ["https://h/maven2/"], jar_limit=0)
