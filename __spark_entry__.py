@@ -492,10 +492,11 @@ def _robots_dict_pd(robots_pd):
     }
 
 
-def _smoke_oracle_run(max_retries: int = 0, with_robots: bool = True):
+def _smoke_oracle_run(max_retries: int = 0, with_robots: bool = True,
+                      jar_limit: int | None = None):
     from graven_spark.oracle import crawl_oracle
 
-    key = f"ora_{max_retries}_{with_robots}"
+    key = f"ora_{max_retries}_{with_robots}_{jar_limit}"
     if key not in _CRAWL_CACHE:
         graph = synth.generate_graph(synth.mini_specs())
         _CRAWL_CACHE[key] = crawl_oracle(
@@ -503,6 +504,7 @@ def _smoke_oracle_run(max_retries: int = 0, with_robots: bool = True):
             list(graph.seeds.sort_values("seed_rank")["url"]),
             _robots_dict_pd(graph.robots) if with_robots else None,
             max_retries=max_retries,
+            jar_limit=jar_limit,
         )
     return _CRAWL_CACHE[key]
 
@@ -522,6 +524,46 @@ def q_crawl_smoke(spark, sf):
         F.col("depth").cast("long").alias("depth"),
         F.col("round").cast("long").alias("round"),
         "text",
+    )
+
+
+def _cached_limit_crawl(spark):
+    if "limit" not in _CRAWL_CACHE:
+        graph = synth.generate_graph(synth.mini_specs())
+        workdir = tempfile.mkdtemp(prefix="graven_q_")
+        pages_path = os.path.join(workdir, "pages.parquet")
+        graph.pages.to_parquet(pages_path, index=False)
+        seeds = spark.createDataFrame(graph.seeds)
+        robots = spark.createDataFrame(
+            graph.robots,
+            schema="host string, disallow_prefixes array<string>, crawl_delay_tokens int",
+        )
+        cfg = CrawlConfig(
+            use_bloom=True, bloom=BloomSpec(n_buckets=8, bits_per_shard=1 << 16),
+            jar_limit=6,
+        )
+        _CRAWL_CACHE["limit"] = crawl(
+            spark, pages_path, seeds, robots, os.path.join(workdir, "state"), cfg
+        )
+    return _CRAWL_CACHE["limit"]
+
+
+def q_crawl_jar_limit(spark, sf):
+    """T3 --jar-limit (reference downloader.py:60,188-195 semaphore): crawl
+    with a global cap of 6 URLs/round; the per-round lineage totals must
+    replay the capped oracle exactly (urls_in ≤ 6 every round, deferred
+    rows re-ranked ahead of newer discoveries)."""
+    out = _cached_limit_crawl(spark)
+    return (
+        out.lineage(spark)
+        .groupBy("round")
+        .agg(
+            F.sum("urls_in").alias("urls_in"),
+            F.sum("urls_out").alias("urls_out"),
+            F.sum("bytes_fetched").alias("bytes_fetched"),
+        )
+        .select(F.col("round").cast("long").alias("round"), "urls_in",
+                "urls_out", "bytes_fetched")
     )
 
 
@@ -742,6 +784,22 @@ def _crawl_smoke_sql() -> str:
     )
 
 
+def _crawl_jar_limit_sql() -> str:
+    run = _smoke_oracle_run(jar_limit=6)
+    assert all(l["urls_in"] <= 6 for l in run.lineage)
+    vals = ", ".join(
+        f"({l['round']}, {l['urls_in']}, {l['urls_out']}, {l['bytes_fetched']})"
+        for l in run.lineage
+    )
+    return (
+        "SELECT CAST(round AS BIGINT) AS round, "
+        "CAST(urls_in AS BIGINT) AS urls_in, "
+        "CAST(urls_out AS BIGINT) AS urls_out, "
+        "CAST(bytes_fetched AS BIGINT) AS bytes_fetched "
+        f"FROM (VALUES {vals}) AS t(round, urls_in, urls_out, bytes_fetched)"
+    )
+
+
 def _crawl_retry_sql() -> str:
     run = _smoke_oracle_run(max_retries=2, with_robots=False)
     vals = ", ".join(
@@ -831,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "crawl_smoke": q_crawl_smoke,
         "crawl_retry": q_crawl_retry,
+        "crawl_jar_limit": q_crawl_jar_limit,
         "domain_lifecycle": q_domain_lifecycle,
         "run_pipeline_jars": q_run_pipeline_jars,
         "run_pipeline_assoc": q_run_pipeline_assoc,
@@ -1143,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_sql(),
         "crawl_smoke": _crawl_smoke_sql(),
         "crawl_retry": _crawl_retry_sql(),
+        "crawl_jar_limit": _crawl_jar_limit_sql(),
         "domain_lifecycle": _domain_lifecycle_sql(),
         "run_pipeline_jars": _run_pipeline_jars_sql(),
         "run_pipeline_assoc": _run_pipeline_assoc_sql(),
