@@ -601,6 +601,7 @@ code change):
 | 2026-08-16 (round 3) | **0.830** | 1.058 | 0.78 | 0.749 | 0.564 | 1.33 |
 | 2026-08-17 (round 4, 2 rounds) | 0.747 | 0.741 | 1.01 | 0.546 | — | — |
 | 2026-08-17 (round 4, 5 rounds) | 0.782 | 0.767 | 1.02 | 0.678 | 0.614 | 1.10 |
+| 2026-08-17 (round 4, later window) | 0.716 | 0.764 | 0.94 | 0.702 | 0.776 | 0.90 |
 
 In every window the job scales AT OR ABOVE what the box's own silicon
 permits in that window (job/hardware ≥ 1.0 in both round-4 windows; round
