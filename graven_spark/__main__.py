@@ -187,6 +187,12 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--disable-syft", action="store_true",
                        help="skip SBOM generation; scanning proceeds directly "
                             "on the jars (reference __main__.py:75-79)")
+        c.add_argument("--cve-ref", default=None,
+                       help="parsed NVD reference parquet "
+                            "(cve_id, description_en, base_score, cwes) to "
+                            "enrich from real data instead of the fixture "
+                            "source (reference: live NVD queries, "
+                            "vuln_fetcher.py:111-146)")
 
     r = sub.add_parser(
         "run",
@@ -212,6 +218,10 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--out", required=True,
                     help="output directory for the enrichment tables")
     pr.add_argument("--run-id", default="run0")
+    pr.add_argument("--pages", default=None,
+                    help="pages table path — REQUIRED with --syft-path/"
+                         "--grype-path so the binaries scan the fetched "
+                         "artifact bytes, not the URL string")
     add_scanner_args(pr)
     pr.add_argument("--enable-update-vuln", action="store_true",
                     help="also run NVD enrichment (reference: the process "
@@ -309,6 +319,10 @@ def main(argv: list[str] | None = None) -> int:
         if k is None:
             print("no committed rounds in state dir")
             return 1
+        if (args.syft_path or args.grype_path) and not args.pages:
+            print("--syft-path/--grype-path need --pages: real binaries scan "
+                  "the fetched artifact bytes, not the URL string")
+            return 1
         scanner, generator, _meta = _build_scanners(args)
         t = enrich_from_results(
             spark, store.read_results(spark, k), args.run_id,
@@ -317,6 +331,8 @@ def main(argv: list[str] | None = None) -> int:
             # reference parity: process runs the vuln worker only with
             # --enable-update-vuln (cli_parser.py:168)
             disable_update_vuln=not args.enable_update_vuln,
+            pages=spark.read.parquet(args.pages) if args.pages else None,
+            cve_ref=spark.read.parquet(args.cve_ref) if args.cve_ref else None,
         )
         counts = {}
         for name, df in t.items():
@@ -366,6 +382,8 @@ def main(argv: list[str] | None = None) -> int:
                 disable_syft=args.disable_syft,
                 disable_update_vuln=args.disable_update_vuln,
                 tool_meta=tool_meta,
+                cve_ref=(spark.read.parquet(args.cve_ref)
+                         if args.cve_ref else None),
             )
             for name in ("jars", "sboms", "scan_errors", "jar_cve", "cve",
                          "cve_cwe", "cwe", "stage_lineage"):
@@ -406,20 +424,30 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         # stream blobs through the driver one at a time (toLocalIterator over
         # a jar_id-ordered frame: deterministic member order, O(1 blob)
-        # driver memory — a collected frame would OOM at millions of jars)
-        blobs = spark.read.parquet(os.path.join(args.enrich, "sboms")).select(
-            "jar_id", "sbom"
+        # driver memory — a collected frame would OOM at millions of jars);
+        # each row carries its RECORDED codec so decompression never guesses
+        sboms_df = spark.read.parquet(os.path.join(args.enrich, "sboms"))
+        codec_col = (
+            F.col("codec") if "codec" in sboms_df.columns
+            else F.lit(None).cast("string")
+        )
+        blobs = sboms_df.select(
+            "jar_id", "sbom", codec_col.alias("codec")
         ).orderBy("jar_id")
-        n = 0
+        n = n_null = 0
 
         def rows():
-            nonlocal n
+            nonlocal n, n_null
             for r in blobs.toLocalIterator():
+                if r.sbom is None:  # failed real-syft run: no blob to export
+                    n_null += 1
+                    continue
                 n += 1
-                yield r.jar_id, r.sbom
+                yield r.jar_id, r.sbom, r.codec
 
         path = export_sbom_archive(rows(), args.out, args.format)
-        print(f"exported {n} sboms → {path}")
+        skipped = f" (skipped {n_null} null blobs)" if n_null else ""
+        print(f"exported {n} sboms{skipped} → {path}")
     else:
         from .sources.checkpoint import RoundStore
 

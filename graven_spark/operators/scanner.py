@@ -48,23 +48,30 @@ TIMEOUT_EXIT_CODE = 124
 
 def probe_version(bin_path: str) -> str:
     """``<bin> --version`` → last whitespace token (reference
-    syft.py:94-105: ``syft 1.2.3`` → ``1.2.3``). Raises FileNotFoundError
-    when the binary is absent, exactly like the reference's validate()."""
+    syft.py:94-105: ``syft 1.2.3`` → ``1.2.3``). Missing binary →
+    FileNotFoundError, exactly like the reference's validate(). A binary
+    that EXISTS but errors keeps its CalledProcessError (a distinct
+    failure the caller should see as such, not "could not find"); one
+    that prints the version to stderr, or prints nothing, yields the
+    stderr token / ``"unknown"`` instead of crashing."""
     try:
         result = subprocess.run(
             [bin_path, "--version"], capture_output=True, check=True
         )
-    except (OSError, subprocess.CalledProcessError) as e:
+    except OSError as e:
         raise FileNotFoundError(
             f"could not find {bin_path}; is it on the path?"
         ) from e
-    return result.stdout.decode().strip().split()[-1]
+    tokens = (
+        result.stdout.decode().strip() or result.stderr.decode().strip()
+    ).split()
+    return tokens[-1] if tokens else "unknown"
 
 
 def subprocess_scanner(
     argv_template: list[str],
     timeout: float = DEFAULT_TIMEOUT,
-    input_col: str = "uri",
+    input_col: str = "payload",
 ) -> Callable[[DataFrame], DataFrame]:
     """Build a scanner callable for ``enrich_from_results(scanner=...)``:
     jars-DataFrame → (jar_id, report_json, exit_code, error).
@@ -76,6 +83,14 @@ def subprocess_scanner(
     fetched artifact bytes; str values are written UTF-8); ``{out}`` is
     where the binary must write its JSON report.
 
+    ``input_col`` defaults to ``payload`` — the artifact BYTES the pipeline
+    fetch-joins from the pages table (plans.pipeline.attach_payload; the
+    reference scans the downloaded file, downloader.py:85-106 →
+    syft.py:68-92). A frame WITHOUT that column fails fast at plan time:
+    silently scanning a temp file containing the URL string would produce
+    empty-but-exit-0 reports. Pass ``input_col="uri"`` explicitly only when
+    the scan target genuinely is the string value.
+
     Failure semantics per row (never failing the task — the reference
     worker logs and continues):
     - non-zero exit → report_json NULL, exit_code, stderr in ``error``
@@ -86,6 +101,15 @@ def subprocess_scanner(
 
     def scan(jars: DataFrame) -> DataFrame:
         import pandas as pd
+
+        if input_col not in jars.columns:
+            raise ValueError(
+                f"scanner input column {input_col!r} not in {jars.columns}: "
+                "a real binary needs the artifact bytes — run the pipeline "
+                "with the pages table attached (CLI: --pages) so "
+                "attach_payload can supply `payload`, or pass input_col "
+                "explicitly if the string value really is the scan target"
+            )
 
         def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:

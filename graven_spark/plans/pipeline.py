@@ -275,6 +275,34 @@ def _jar_key(r: dict) -> tuple:
     return (r["uri"], pd is not None, pd or _dt.datetime.min)
 
 
+def attach_payload(
+    jars: DataFrame, results: DataFrame, pages: DataFrame
+) -> DataFrame:
+    """jars + ``payload binary`` — the fetched artifact bytes for each jar
+    row, so a REAL syft/grype binary scans the artifact itself, not its URL
+    string (reference flow: downloader.py:85-106 writes the downloaded jar
+    to disk, anchore/syft.py:68-92 scans that file).
+
+    The jar table's winner pick is min over (uri, publish_date, …) per
+    jar_id (jar_table), so the winning row's source url is recoverable
+    set-wise: min(url) over the result rows that share the winner's
+    (jar_id, uri) — url = prefix + uri, and min(uri) ⇒ the urls that strip
+    to it; min(url) breaks multi-host ties the same lexicographic way.
+    Both joins key on high-cardinality jar_id/url (no skew); the pages side
+    is filtered to the O(#jars) candidate urls before the html bytes move
+    (AQE broadcasts the small url set, so page bytes never shuffle)."""
+    cand = results.select(
+        "url", F.regexp_replace(F.col("url"), REPO_PREFIX_RE, "").alias("uri")
+    )
+    cand = cand.withColumn("jar_id", F.element_at(F.split("uri", "/"), -1))
+    urls = cand.groupBy("jar_id", "uri").agg(F.min("url").alias("url"))
+    with_url = jars.join(urls, ["jar_id", "uri"], "left")
+    payloads = pages.join(
+        with_url.select("url").distinct(), "url", "left_semi"
+    ).select("url", F.col("html").alias("payload"))
+    return with_url.join(payloads, "url", "left").drop("url")
+
+
 # -- the composed run --------------------------------------------------------
 
 @dataclass
@@ -295,7 +323,8 @@ def enrich_from_results(
     spark: SparkSession, results: DataFrame, run_id: str,
     scanner=None, generator=None,
     disable_syft: bool = False, disable_update_vuln: bool = False,
-    persist: bool = True,
+    persist: bool = True, pages: DataFrame | None = None,
+    cve_ref: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The process/update-vuln stages as one dataflow over a results table
     (usable standalone — the reference's ``process`` command shape).
@@ -322,6 +351,15 @@ def enrich_from_results(
     would re-shell-out per jar per table. On a cluster deployment swap
     localCheckpoint for write-then-read against the output store (the
     ``process``/``update-vuln`` CLI paths already do exactly that).
+    ``pages``: the pages table — when given, the scanner/generator input
+    frame carries a ``payload binary`` column with the winner row's fetched
+    artifact bytes (:func:`attach_payload`), so a REAL binary scans the
+    artifact, not its URL string. Fixture stages never need it.
+    ``cve_ref``: a parsed NVD reference table (cve_id, description_en,
+    base_score, cwes — the shape ``update-vuln --cve-ref`` takes) to enrich
+    from REAL data instead of the deterministic fixture source
+    (reference: the vuln worker queries live NVD,
+    /root/reference/graven/worker/vuln_fetcher.py:111-146).
     """
     from ..functions.sbom import SBOM_SCHEMA, fixture_sbom_json, sbom_table
     from ..operators.scanner import split_scan_failures
@@ -330,6 +368,13 @@ def enrich_from_results(
         return df.localCheckpoint(eager=True) if persist else df
 
     jars = _pin(jar_table(results, run_id))
+    # payload attach only when a real tool will read the bytes — the pin
+    # bounds it to one execution even though generator AND scanner read it
+    scan_input = (
+        _pin(attach_payload(jars, results, pages))
+        if pages is not None and (scanner is not None or generator is not None)
+        else jars
+    )
 
     if disable_syft:
         sboms = spark.createDataFrame([], SBOM_SCHEMA)
@@ -339,7 +384,7 @@ def enrich_from_results(
                 return j.select(
                     "jar_id", fixture_sbom_json(F.col("jar_id")).alias("sbom_json")
                 )
-        sboms = _pin(sbom_table(generator(jars), run_id))
+        sboms = _pin(sbom_table(generator(scan_input), run_id))
 
     if scanner is None:
         def scanner(j):
@@ -348,7 +393,7 @@ def enrich_from_results(
             )
     # pin the RAW scanner output before any split: pinning the two split
     # branches separately would execute the scanner once per branch
-    scanned = _pin(scanner(jars))
+    scanned = _pin(scanner(scan_input))
     if "exit_code" in scanned.columns:
         reports, scan_errors = split_scan_failures(scanned, run_id)
     else:
@@ -364,6 +409,10 @@ def enrich_from_results(
             [], "cve_id string, description_en string, base_score double, "
                 "cwes array<string>"
         )
+    elif cve_ref is not None:
+        # real reference source: ids ⋈ the user's parsed NVD dump — ids
+        # absent from the dump land found=false, exactly the fixture path
+        parsed = cve_ref.select("cve_id", "description_en", "base_score", "cwes")
     else:
         nvd_raw = ids.filter(~nvd_miss(F.col("cve_id"))).select(
             fixture_nvd(F.col("cve_id")).alias("nvd_json")
@@ -419,19 +468,29 @@ def run_pipeline(
     disable_syft: bool = False,
     disable_update_vuln: bool = False,
     tool_meta: dict | None = None,
+    cve_ref: DataFrame | None = None,
 ) -> PipelineOutputs:
     """``graven run``: crawl + process + update-vuln, composed. The stage
     toggles mirror the reference CLI (__main__.py:51-88): ``disable_syft``
     skips SBOM generation, ``disable_update_vuln`` skips NVD enrichment.
     ``tool_meta`` (syft_version/grype_version/grype_db_source) lands in the
-    run_log row (/root/reference/ddl/0_run_log.sql)."""
+    run_log row (/root/reference/ddl/0_run_log.sql). With a real scanner or
+    generator, the pages table is re-read so the tools receive the fetched
+    artifact BYTES (attach_payload); ``cve_ref`` swaps the fixture NVD
+    source for a real parsed dump."""
     cfg = cfg or CrawlConfig()
     out = crawl(spark, pages_path, seeds, robots, state_dir, cfg,
                 tool_meta=tool_meta)
     results = out.results(spark)
+    pages = (
+        spark.read.parquet(pages_path)
+        if scanner is not None or generator is not None
+        else None
+    )
     t = enrich_from_results(
         spark, results, cfg.run_id, scanner=scanner, generator=generator,
         disable_syft=disable_syft, disable_update_vuln=disable_update_vuln,
+        pages=pages, cve_ref=cve_ref,
     )
     stage_lineage = stage_lineage_from(results, t, cfg.run_id)
     return PipelineOutputs(

@@ -156,20 +156,43 @@ def stream_extract_to_sink(
       no duplicate rows;
     - readers (:func:`read_stream_sink`) only see marker-committed dirs.
 
+    The marker records the STREAM's stable query id (the checkpoint's
+    ``metadata`` id, unchanged across restarts of the same checkpoint): a
+    replay of the SAME query skips its own committed batch, but a FRESH
+    checkpoint pointed at a used sink dir — whose batch ids restart at 0 —
+    fails loudly instead of silently skipping the new batches into stale
+    data.
+
     Runs with ``availableNow`` (drain-what-exists; restart to pick up new
     files). Returns the started StreamingQuery; callers await it."""
+    import json as _json
     import os
 
     extracted = stream_extract(spark, pages_dir, max_files_per_trigger)
 
+    def query_id() -> str:
+        # written by the engine at query start, stable for the checkpoint's
+        # lifetime — on disk before the first foreachBatch call runs
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return _json.load(f)["id"]
+
     def write_batch(df: DataFrame, batch_id: int) -> None:
         d = os.path.join(sink_dir, f"batch_{batch_id:06d}")
         marker = os.path.join(d, "_COMMIT")
+        qid = query_id()
         if os.path.exists(marker):
-            return  # replayed, already-committed batch: exactly-once skip
+            with open(marker) as f:
+                committed_by = f.read().strip()
+            if committed_by == qid:
+                return  # replayed, already-committed batch: exactly-once skip
+            raise RuntimeError(
+                f"sink dir {d} was committed by a different streaming query "
+                f"(marker id {committed_by!r}, current query id {qid!r}); "
+                "reuse the original checkpoint dir or point at a fresh sink"
+            )
         df.write.mode("overwrite").parquet(d)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(qid)
 
     return (
         extracted.writeStream.foreachBatch(write_batch)

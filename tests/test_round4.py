@@ -135,7 +135,8 @@ def test_subprocess_scanner_success_failure_timeout(spark, fake_scanner_bin):
         "jar_id string, uri string",
     )
     scan = subprocess_scanner(
-        [fake_scanner_bin, "--by-cve", "-o", "json={out}", "{in}"], timeout=5.0
+        [fake_scanner_bin, "--by-cve", "-o", "json={out}", "{in}"], timeout=5.0,
+        input_col="uri",  # the test frame's scan target IS the string value
     )
     rows = {r.jar_id: r for r in scan(jars).collect()}
     ok = rows["ok.jar"]
