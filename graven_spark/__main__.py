@@ -346,16 +346,13 @@ def main(argv: list[str] | None = None) -> int:
         update_prefix = args.update_jar
         if args.update:
             # -u/--update: ALL recorded domains + ALL recorded jars
-            # (reference cli_parser.py:66-71 "Supersedes --update-* flags")
+            # (reference cli_parser.py:66-71 "Supersedes --update-* flags").
+            # "*" makes _reopen_domains JOIN the recorded domains table —
+            # no host list ever reaches the driver or the plan.
             from .sources.checkpoint import RoundStore
 
-            _store = RoundStore(args.state)
-            _k = _store.latest_round()
-            if _k is not None:
-                update_domains = [
-                    r.host
-                    for r in _store.read_domains(spark, _k).select("host").collect()
-                ]
+            if RoundStore(args.state).latest_round() is not None:
+                update_domains = "*"
                 update_prefix = ""  # every recorded url matches
         cfg = CrawlConfig(
             use_bloom=not args.no_bloom,

@@ -75,28 +75,47 @@ def _reopen_domains(
     ``cfg.update_domains``: purged seen base + rebuilt shards + re-seeded
     roots + IN_PROGRESS domain stamps. Re-seeding applies the same robots
     gate and first-occurrence dedup as init_run — a blocked or duplicated
-    seed must not slip in through the update path."""
+    seed must not slip in through the update path.
+
+    The host set is a DATAFRAME join, never a collected list / IN-literal:
+    ``update_domains == "*"`` (the ``-u`` flag) reads the recorded domains
+    table; an explicit ``--update-domain`` list becomes a tiny broadcast
+    frame. Either way the seen purge is an anti-join — at a multi-million-
+    host 100× crawl neither the driver memory nor the plan size grows with
+    the host count."""
     from ..operators.dedup import first_occurrence
     from ..operators.politeness import gate_robots
 
-    hosts = cfg.update_domains
     meta = store.meta(k)
     store.clean_uncommitted_above(k)
+    if cfg.update_domains == "*":
+        # every recorded host (reference cli_parser.py:66-71 -u semantics);
+        # host cardinality ~ domains table — AQE picks the join strategy
+        hosts_df = store.read_domains(spark, k).select("host")
+    else:
+        hosts_df = F.broadcast(
+            spark.createDataFrame(
+                [(h,) for h in cfg.update_domains], "host string"
+            )
+        )
     reseed = (
         seeds.select(
             canonicalize(F.col("url")).alias("url"),
             F.col("seed_rank").cast("long").alias("priority"),
         )
         .withColumn("host", host_of(F.col("url")))
-        .filter(F.col("host").isin(hosts))
+        .join(hosts_df, "host", "left_semi")
         .withColumn("depth", F.lit(0))
         .withColumn("parent_url", F.lit(None).cast("string"))
         .withColumn("discovery_idx", F.col("priority").cast("int"))
         .withColumn("retry_count", F.lit(0))
     )
     reseed = first_occurrence(gate_robots(reseed, robots)).select(*FRONTIER_COLS)
-    purged = store.read_seen(spark, k).filter(
-        ~host_of(F.col("url")).isin(hosts)
+    purged = (
+        store.read_seen(spark, k)
+        .withColumn("host", host_of(F.col("url")))
+        .join(hosts_df, "host", "left_anti")
+        .drop("host")
     )
     from .frontier import _seen_delta
 

@@ -88,7 +88,10 @@ class CrawlConfig:
     batch_threshold: int = 0
     max_batch_rounds: int = 16
     # --update-domain analog: hosts to purge from seen + re-seed on resume.
-    update_domains: list[str] = field(default_factory=list)
+    # The sentinel "*" (the -u/--update CLI flag) re-opens EVERY recorded
+    # host by joining against the domains table — never a collected list,
+    # so a multi-million-host crawl state stays off the driver.
+    update_domains: list[str] | str = field(default_factory=list)
     # --update-jar analog: re-fetch+re-extract seen leaf urls with this prefix.
     update_url_prefix: str | None = None
 

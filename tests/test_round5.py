@@ -238,6 +238,46 @@ def test_cli_process_real_scanner_requires_pages(spark, tmp_path, sha_scanner_bi
     assert set(reports_sha.values()) <= page_shas
 
 
+# -- de-drivered -u host set (VERDICT r4 #3) ----------------------------------
+
+def test_update_all_sentinel_equals_explicit_host_list(spark, tmp_path):
+    """update_domains="*" (the -u path) joins the recorded domains table
+    instead of collecting hosts to the driver — and produces exactly the
+    state an explicit all-hosts list produces."""
+    from graven_spark.operators.bloom import BloomSpec
+    from graven_spark.plans.driver import crawl
+    from graven_spark.plans.frontier import CrawlConfig
+    from graven_spark.sources.synth import generate_graph, mini_specs
+
+    g = generate_graph(mini_specs())
+    pages = str(tmp_path / "pages.parquet")
+    g.pages.to_parquet(pages, index=False)
+    seeds = spark.createDataFrame(g.seeds)
+
+    def cfg(**kw):
+        return CrawlConfig(
+            use_bloom=True, bloom=BloomSpec(n_buckets=4, bits_per_shard=1 << 16),
+            **kw,
+        )
+
+    outs = {}
+    for name in ("star", "explicit"):
+        state = str(tmp_path / name)
+        first = crawl(spark, pages, seeds, None, state, cfg())
+        all_hosts = sorted(
+            r.host for r in first.domains(spark).select("host").collect()
+        )
+        update = "*" if name == "star" else all_hosts
+        outs[name] = crawl(
+            spark, pages, seeds, None, state, cfg(update_domains=update,
+                                                  update_url_prefix="")
+        )
+    for getter in ("seen", "results", "domains"):
+        a = sorted(tuple(r) for r in getattr(outs["star"], getter)(spark).collect())
+        b = sorted(tuple(r) for r in getattr(outs["explicit"], getter)(spark).collect())
+        assert a == b, getter
+
+
 # -- --cve-ref on run/process (VERDICT r4 #2) ---------------------------------
 
 def _cve_ref_rows(ids):
