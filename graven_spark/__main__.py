@@ -252,6 +252,13 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--sink", required=True, help="sink directory (batch_N dirs)")
     st.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
     st.add_argument("--max-files-per-trigger", type=int, default=4)
+    st.add_argument("--budget", type=int, default=None,
+                    help="per-host politeness cap for the stream (stateful, "
+                         "persists across micro-batches and restarts of the "
+                         "same checkpoint; reference request cap crawler.py:27)")
+    st.add_argument("--budget-window", default=None, metavar='"1 hour"',
+                    help="refresh the per-host allowance every event-time "
+                         "tumbling window (default: lifetime budget)")
 
     e = sub.add_parser(
         "export",
@@ -304,6 +311,7 @@ def main(argv: list[str] | None = None) -> int:
         q = stream_extract_to_sink(
             spark, args.pages, args.sink, args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
+            budget=args.budget, budget_window=args.budget_window,
         )
         q.awaitTermination()
         n = read_stream_sink(spark, args.sink).count()

@@ -87,11 +87,23 @@ def stream_host_budget(
     old single-field schema CANNOT resume against this operator — restart
     such a query with a fresh checkpoint directory (the state encodes only
     in-window consumption, so the cost is one window's over-admission at
-    worst)."""
+    worst).
+
+    The input must carry ``url``, ``host``, ``warc_ts``; EVERY input column
+    passes through for admitted rows (so e.g. ``html`` bytes survive the
+    gate and extraction can run downstream of admission — the ``stream``
+    CLI's --budget path). State size is unaffected by the extra columns."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    for required in ("url", "host", "warc_ts"):
+        if required not in pages_stream.columns:
+            raise ValueError(
+                f"stream_host_budget input needs column {required!r}; "
+                f"got {pages_stream.columns}"
+            )
     win_s = None if window is None else _window_seconds(window)
+    out_schema = pages_stream.schema
 
     def admit(key, pdfs, state: GroupState):
         win_start, taken = state.get if state.exists else (-1, 0)
@@ -106,7 +118,7 @@ def stream_host_budget(
             taken += len(pdf)
             state.update((win_start, taken))
             if len(pdf):
-                yield pdf[["url", "host", "warc_ts"]]
+                yield pdf
             return
         epoch = (pdf["warc_ts"].astype("int64") // 10**9).to_numpy()
         out = []
@@ -119,18 +131,14 @@ def stream_host_budget(
                 out.append(i)
         state.update((win_start, taken))
         if out:
-            yield pdf.iloc[out][["url", "host", "warc_ts"]]
+            yield pdf.iloc[out]
 
-    return (
-        pages_stream.select("url", "host", "warc_ts")
-        .groupBy("host")
-        .applyInPandasWithState(
-            admit,
-            outputStructType="url string, host string, warc_ts timestamp",
-            stateStructType="win_start long, taken long",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    return pages_stream.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType=out_schema,
+        stateStructType="win_start long, taken long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
@@ -140,6 +148,8 @@ def stream_extract_to_sink(
     sink_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
+    budget: int | None = None,
+    budget_window: str | None = None,
 ):
     """Exactly-once streaming sink — the streaming analog of the batch
     round-commit protocol (sources/checkpoint.py): each micro-batch's
@@ -163,12 +173,34 @@ def stream_extract_to_sink(
     fails loudly instead of silently skipping the new batches into stale
     data.
 
+    With ``budget``, per-host politeness gates the stream BEFORE extraction
+    (:func:`stream_host_budget` — the reference crawler's global request
+    cap, crawler.py:27, made per-host): at most ``budget`` pages per host —
+    per ``budget_window`` tumbling event-time window when given, lifetime
+    otherwise — are admitted, with the token count persisting across
+    micro-batches AND across restarts of the same checkpoint. Extraction
+    runs only on admitted rows (rejected pages never pay the Arrow UDF).
+
     Runs with ``availableNow`` (drain-what-exists; restart to pick up new
     files). Returns the started StreamingQuery; callers await it."""
     import json as _json
     import os
 
-    extracted = stream_extract(spark, pages_dir, max_files_per_trigger)
+    from ..functions.canon import host_of
+
+    if budget is not None:
+        raw = (
+            spark.readStream.schema(PAGES_DDL)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(pages_dir)
+            .withColumn("host", host_of(F.col("url")))
+        )
+        admitted = stream_host_budget(raw, budget, budget_window)
+        extracted = admitted.select(
+            "url", extract_text(F.col("html")).alias("text"), "lang", "warc_ts"
+        )
+    else:
+        extracted = stream_extract(spark, pages_dir, max_files_per_trigger)
 
     def query_id() -> str:
         # written by the engine at query start, stable for the checkpoint's

@@ -238,6 +238,58 @@ def test_cli_process_real_scanner_requires_pages(spark, tmp_path, sha_scanner_bi
     assert set(reports_sha.values()) <= page_shas
 
 
+# -- stream CLI politeness (VERDICT r4 #4) ------------------------------------
+
+def test_cli_stream_budget_windowed(spark, smoke_graph, tmp_path):
+    """`stream --budget N --budget-window W`: per-host admission ≤ N per
+    event-time window, enforced ACROSS micro-batches (files arrive 1 per
+    trigger) and across CLI invocations sharing the checkpoint."""
+    import pandas as pd
+
+    from graven_spark.__main__ import main
+    from graven_spark.streaming.pipeline import read_stream_sink
+
+    win_a = dt.datetime(2025, 1, 1, 10, 0)
+    win_b = dt.datetime(2025, 1, 1, 11, 0)
+    base = smoke_graph.pages.iloc[:16].reset_index(drop=True)
+
+    def group(idx, win, file_no):
+        # one file of 4 same-window rows (event-time order across files:
+        # file order = write order via mtime, so windows advance cleanly)
+        return pd.DataFrame({
+            "url": [f"https://bud.example.com/maven2/f{file_no}p{i}" for i in idx],
+            "warc_ts": [win + dt.timedelta(minutes=file_no * 10 + i) for i in idx],
+            "html": base["html"].iloc[list(idx)].values,
+            "text": base["text"].iloc[list(idx)].values,
+            "lang": base["lang"].iloc[list(idx)].values,
+        })
+
+    pages_dir = str(tmp_path / "pages")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    argv = ["stream", "--pages", pages_dir, "--sink", sink,
+            "--checkpoint", ckpt, "--max-files-per-trigger", "1",
+            "--budget", "3", "--budget-window", "1 hour"]
+
+    # invocation 1: one window-A file, then one window-B file (2 triggers)
+    for fno, win in ((0, win_a), (1, win_b)):
+        spark.createDataFrame(group(range(4), win, fno)).coalesce(1).write.mode(
+            "append").parquet(pages_dir)
+    assert main(argv) == 0
+    # 4 rows per window, budget 3 per window ⇒ 3 + 3 admitted
+    assert read_stream_sink(spark, sink).count() == 6
+
+    # invocation 2: 4 MORE rows in each already-exhausted window — the
+    # checkpointed state rejects every one (cross-invocation enforcement)
+    for fno, win in ((2, win_a), (3, win_b)):
+        spark.createDataFrame(group(range(4), win, fno)).coalesce(1).write.mode(
+            "append").parquet(pages_dir)
+    assert main(argv) == 0
+    out = read_stream_sink(spark, sink).collect()
+    assert len(out) == 6
+    assert all(r.text is not None for r in out)
+
+
 # -- de-drivered -u host set (VERDICT r4 #3) ----------------------------------
 
 def test_update_all_sentinel_equals_explicit_host_list(spark, tmp_path):
