@@ -664,6 +664,51 @@ def q_run_pipeline_sboms(spark, sf):  # sbom blob table (S6): roundtrip oracle
     )
 
 
+# Deterministic scanned-frame fixture for the scan-failure split (the
+# real-scanner 4-column output shape, operators/scanner.py SCAN_SCHEMA):
+# known exit codes → known ok/failure partition and details JSON.
+def _scan_split_fixture() -> list[tuple]:
+    rows = []
+    for i in range(24):
+        jar = f"jar{i:02d}.jar"
+        if i % 4 == 1:  # binary exploded
+            rows.append((jar, None, 3, f"fake scanner exploded on {i}"))
+        elif i % 4 == 2:  # killed by the timeout
+            rows.append((jar, None, 124, "timeout after 60.0s"))
+        elif i % 8 == 7:  # exit 0 but no report written
+            rows.append((jar, None, 0, "no report produced"))
+        else:  # clean scan
+            rows.append((jar, '{"matches":[]}', 0, None))
+    return rows
+
+
+def q_scan_failure_split(spark, sf):  # §2.12: failure rows from a real scan
+    from graven_spark.operators.scanner import SCAN_SCHEMA, split_scan_failures
+
+    scanned = spark.createDataFrame(_scan_split_fixture(), SCAN_SCHEMA)
+    _ok, failures = split_scan_failures(scanned, "run0")
+    return failures.select("round", "url", "stage", "reason", "details")
+
+
+def _scan_failure_split_sql() -> str:
+    import json as _json
+
+    vals = []
+    for jar, rep, code, err in _scan_split_fixture():
+        if code == 0 and rep is not None:
+            continue  # ok row: flows to the analyzer, not the error log
+        details = _json.dumps(  # byte-identical to Spark's to_json(struct)
+            {"exit_code": code, "error": err, "run_id": "run0"},
+            separators=(",", ":"),
+        )
+        vals.append(f"('{jar}', '{_sq(details)}')")
+    return (
+        "SELECT CAST(NULL AS INTEGER) AS round, url, 'scanner' AS stage, "
+        f"'scan_failed' AS reason, details FROM (VALUES {', '.join(vals)}) "
+        "AS t(url, details)"
+    )
+
+
 def q_run_pipeline_stages(spark, sf):  # per-worker-stage lineage rollup
     from graven_spark.plans.pipeline import stage_lineage_from
 
@@ -897,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_pipeline_cwe": q_run_pipeline_cwe,
         "run_pipeline_sboms": q_run_pipeline_sboms,
         "run_pipeline_stages": q_run_pipeline_stages,
+        "scan_failure_split": q_scan_failure_split,
     }
 
 
@@ -1210,4 +1256,5 @@ def oracle_sql() -> dict[str, str]:
         "run_pipeline_cwe": _run_pipeline_cwe_sql(),
         "run_pipeline_sboms": _run_pipeline_sboms_sql(),
         "run_pipeline_stages": _run_pipeline_stages_sql(),
+        "scan_failure_split": _scan_failure_split_sql(),
     }

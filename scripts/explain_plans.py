@@ -225,6 +225,61 @@ def main() -> None:
         ["SortAggregate", "partial_min"],
     ))
 
+    # 8. nvd_batch_lookup against a BUCKETED cve_ref: the docstring promise
+    # (plans/enrich.py nvd_batch_lookup) — the big reference side joins with
+    # NO Exchange when cve_ref is stored bucketed by cve_id; only the
+    # requested-ids side (which must survive as outer rows) shuffles.
+    from graven_spark.plans.enrich import nvd_batch_lookup
+
+    spark.sql("DROP TABLE IF EXISTS plans_cve_ref")
+    ref_rows = spark.range(0, 5000).select(
+        F.concat(F.lit("CVE-2024-"), F.col("id")).alias("cve_id"),
+        F.concat(F.lit("desc-"), F.col("id")).alias("description_en"),
+        (F.col("id") % 10).cast("double").alias("base_score"),
+        F.array(F.concat(F.lit("CWE-"), (F.col("id") % 700))).alias("cwes"),
+    )
+    ref_rows.write.mode("overwrite").bucketBy(8, "cve_id").sortBy(
+        "cve_id"
+    ).saveAsTable("plans_cve_ref")
+    ids = spark.range(0, 2000).select(
+        F.concat(F.lit("CVE-2024-"), (F.col("id") * 3) % 6000).alias("cve_id")
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    nvd_plan = formatted(nvd_batch_lookup(ids, spark.table("plans_cve_ref")))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    # walk the ref scan's ANCESTOR chain up to the join: no Exchange allowed
+    ntree = nvd_plan.split("\n\n(1)")[0].splitlines()
+    ref_idx = next(i for i, ln in enumerate(ntree) if "plans_cve_ref" in ln)
+
+    def _marker(ln):
+        cands = [p for p in (ln.find("+-"), ln.find(":-")) if p >= 0]
+        return min(cands) if cands else None
+
+    cur = _marker(ntree[ref_idx])
+    ref_side_clean = True
+    for ln in reversed(ntree[:ref_idx]):
+        m = _marker(ln)
+        if m is None or (cur is not None and m >= cur):
+            continue
+        if "Join" in ln:
+            break
+        if "Exchange" in ln:
+            ref_side_clean = False
+        cur = m
+    nvd_bucketed = "Bucketed: true" in nvd_plan
+    EXTRA_CHECKS.append((
+        "nvd_batch_lookup: bucketed cve_ref scan (Bucketed: true), no Exchange "
+        "between the ref scan and the join",
+        nvd_bucketed and ref_side_clean,
+    ))
+    sections.append((
+        "NVD batch lookup (requested ids ⋈ bucketed cve_ref; ref side exchange-free)",
+        nvd_plan,
+        ["SortMergeJoin", "Bucketed: true"],
+    ))
+    spark.sql("DROP TABLE IF EXISTS plans_cve_ref")
+
     lines = ["# PLANS — physical-plan evidence for the hot paths",
              "",
              "Generated by `python scripts/explain_plans.py`. Each section lists",
