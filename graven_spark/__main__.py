@@ -327,9 +327,16 @@ def main(argv: list[str] | None = None) -> int:
         if k is None:
             print("no committed rounds in state dir")
             return 1
-        if (args.syft_path or args.grype_path) and not args.pages:
-            print("--syft-path/--grype-path need --pages: real binaries scan "
-                  "the fetched artifact bytes, not the URL string")
+        # a real syft scans the jar bytes; a real grype scans the jar bytes
+        # only when no SBOM stage runs (reference scanner.py:72-78 scans the
+        # SBOM when one exists) — either way the jar-scanning tool needs the
+        # pages table to supply the payload
+        needs_pages = (args.syft_path and not args.disable_syft) or (
+            args.grype_path and args.disable_syft
+        )
+        if needs_pages and not args.pages:
+            print("this scanner combination scans the fetched artifact bytes "
+                  "— pass --pages so the pipeline can attach them")
             return 1
         scanner, generator, _meta = _build_scanners(args)
         t = enrich_from_results(

@@ -376,6 +376,7 @@ def enrich_from_results(
         else jars
     )
 
+    gen_out = None
     if disable_syft:
         sboms = spark.createDataFrame([], SBOM_SCHEMA)
     else:
@@ -384,16 +385,36 @@ def enrich_from_results(
                 return j.select(
                     "jar_id", fixture_sbom_json(F.col("jar_id")).alias("sbom_json")
                 )
-        sboms = _pin(sbom_table(generator(scan_input), run_id))
+        # pin the generator output ONCE: both the blob table and the
+        # scanner's scan-target join read through it
+        gen_out = _pin(generator(scan_input))
+        sboms = _pin(sbom_table(gen_out, run_id))
 
     if scanner is None:
         def scanner(j):
             return j.select(
                 "jar_id", fixture_report(F.col("jar_id")).alias("report_json")
             )
+        scan_frame = scan_input  # fixture derives from jar_id; no target join
+    elif gen_out is not None:
+        # Reference scanner.py:72-78: grype scans the SBOM when the
+        # generator produced one, and falls back to the jar itself when it
+        # did not (a failed syft run leaves sbom_json NULL) — mirror that
+        # per row by making `payload` the effective scan target.
+        scan_frame = scan_input.join(
+            gen_out.withColumnRenamed("sbom_json", "_sbom_target"),
+            "jar_id", "left",
+        )
+        target = F.col("_sbom_target").cast("binary")
+        if "payload" in scan_input.columns:
+            target = F.coalesce(target, F.col("payload"))
+        scan_frame = scan_frame.withColumn("payload", target).drop("_sbom_target")
+    else:
+        scan_frame = scan_input  # no SBOMs: grype scans the jar (ref __main__.py:75-79)
+
     # pin the RAW scanner output before any split: pinning the two split
     # branches separately would execute the scanner once per branch
-    scanned = _pin(scanner(scan_input))
+    scanned = _pin(scanner(scan_frame))
     if "exit_code" in scanned.columns:
         reports, scan_errors = split_scan_failures(scanned, run_id)
     else:

@@ -167,9 +167,10 @@ def _graph_results(spark, graph, n=8):
 
 
 def test_scanner_receives_artifact_bytes(spark, smoke_graph, sha_scanner_bin):
-    """With pages attached, the subprocess receives the page's EXACT bytes
-    (sha-compared inside the fake binary) — the reference scans the
-    downloaded artifact file (downloader.py:85-106 → syft.py:68-92)."""
+    """With pages attached and no SBOM stage, the subprocess receives the
+    page's EXACT bytes (sha-compared inside the fake binary) — the
+    reference scans the downloaded artifact file when no SBOM exists
+    (downloader.py:85-106 → scanner.py:72-78 jar branch)."""
     from graven_spark.operators.scanner import subprocess_scanner
 
     results, leaves = _graph_results(spark, smoke_graph)
@@ -178,7 +179,7 @@ def test_scanner_receives_artifact_bytes(spark, smoke_graph, sha_scanner_bin):
         [sha_scanner_bin, "-o", "json={out}", "{in}"], timeout=10.0
     )  # input_col defaults to payload
     t = enrich_from_results(
-        spark, results, "run0", scanner=scan, pages=pages
+        spark, results, "run0", scanner=scan, pages=pages, disable_syft=True
     )
     html_by_url = {
         r.url: bytes(r.html) for r in pages.filter(F.col("url").isin(leaves)).collect()
@@ -193,6 +194,54 @@ def test_scanner_receives_artifact_bytes(spark, smoke_graph, sha_scanner_bin):
     }
     assert got == want
     assert t["scan_errors"].count() == 0
+
+
+def test_scanner_prefers_sbom_falls_back_to_jar(spark, smoke_graph, sha_scanner_bin):
+    """Reference scanner.py:72-78: grype scans the SBOM when the generator
+    produced one, the jar bytes when it did not (failed syft run). The real
+    syft stage itself always receives the jar bytes."""
+    from graven_spark.operators.scanner import subprocess_scanner
+
+    results, leaves = _graph_results(spark, smoke_graph)
+    pages = spark.createDataFrame(smoke_graph.pages)
+    scan = subprocess_scanner(
+        [sha_scanner_bin, "-o", "json={out}", "{in}"], timeout=10.0
+    )
+    null_jar = sorted(u.rsplit("/", 1)[-1] for u in leaves)[0]
+
+    def gen(jars):  # a syft stage whose run failed for ONE jar
+        from graven_spark.functions.sbom import fixture_sbom_json
+
+        return jars.select(
+            "jar_id",
+            F.when(F.col("jar_id") == null_jar, F.lit(None).cast("string"))
+            .otherwise(fixture_sbom_json(F.col("jar_id"))).alias("sbom_json"),
+        )
+
+    t = enrich_from_results(
+        spark, results, "run0", scanner=scan, generator=gen, pages=pages
+    )
+    from graven_spark.functions.sbom import fixture_sbom_json_py
+
+    html_by_url = {
+        r.url: bytes(r.html) for r in pages.filter(F.col("url").isin(leaves)).collect()
+    }
+    want = {}
+    for u in leaves:
+        jar = u.rsplit("/", 1)[-1]
+        target = (
+            html_by_url[u] if jar == null_jar  # fallback: jar bytes
+            else fixture_sbom_json_py(jar).encode("utf-8")  # sbom bytes
+        )
+        want[jar] = hashlib.sha256(target).hexdigest()
+    got = {
+        r.jar_id: json.loads(r.report_json)["input_sha"]
+        for r in t["reports"].collect()
+    }
+    assert got == want
+    # the failed generator run is still visible in the blob table
+    sbom_rows = {r.jar_id: r for r in t["sboms"].collect()}
+    assert sbom_rows[null_jar].sbom is None and sbom_rows[null_jar].codec is None
 
 
 def test_scanner_without_payload_fails_fast(spark):
@@ -218,12 +267,15 @@ def test_cli_process_real_scanner_requires_pages(spark, tmp_path, sha_scanner_bi
                  "--state", state, "--bloom-buckets", "4",
                  "--bloom-bits", str(1 << 16)]) == 0
 
-    # real binary without --pages: fail fast, never scan URL strings
+    # a jar-scanning combination without --pages: fail fast, never scan
+    # URL strings (grype scans the jar directly when syft is disabled)
     assert main(["process", "--state", state, "--out", str(tmp_path / "o1"),
-                 "--grype-path", sha_scanner_bin]) == 1
+                 "--disable-syft", "--grype-path", sha_scanner_bin]) == 1
+    assert main(["process", "--state", state, "--out", str(tmp_path / "o1b"),
+                 "--syft-path", sha_scanner_bin]) == 1
 
     out = str(tmp_path / "o2")
-    assert main(["process", "--state", state, "--out", out,
+    assert main(["process", "--state", state, "--out", out, "--disable-syft",
                  "--pages", pages, "--grype-path", sha_scanner_bin]) == 0
     reports_sha = {
         r.jar_id: json.loads(r.report_json)["input_sha"]
@@ -236,6 +288,22 @@ def test_cli_process_real_scanner_requires_pages(spark, tmp_path, sha_scanner_bi
         hashlib.sha256(h).hexdigest() for h in g.pages["html"]
     }
     assert set(reports_sha.values()) <= page_shas
+
+    # grype real + fixture syft ENABLED: grype scans the SBOMs — no --pages
+    # needed (reference scanner.py:72-78 sbom branch)
+    from graven_spark.functions.sbom import fixture_sbom_json_py
+
+    out3 = str(tmp_path / "o3")
+    assert main(["process", "--state", state, "--out", out3,
+                 "--grype-path", sha_scanner_bin]) == 0
+    got3 = {
+        r.jar_id: json.loads(r.report_json)["input_sha"]
+        for r in spark.read.parquet(os.path.join(out3, "reports")).collect()
+    }
+    assert got3 == {
+        j: hashlib.sha256(fixture_sbom_json_py(j).encode("utf-8")).hexdigest()
+        for j in got3
+    }
 
 
 # -- stream CLI politeness (VERDICT r4 #4) ------------------------------------
