@@ -62,10 +62,10 @@ def export_archive(results, out: str, kind: str) -> tuple[int, int]:
         parts = sorted(
             f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".json")
         )
-        n_rows = 0
-        for f in parts:
-            with open(os.path.join(tmp, f), "rb") as fh:
-                n_rows += sum(1 for ln in fh if ln.strip())
+        # row count from a distributed scan of the staged parts (one line per
+        # row), not a driver-side re-read of every byte; the results plan
+        # still runs exactly once (the write above)
+        n_rows = results.sparkSession.read.text(tmp).count()
         if kind == "zip":
             with zipfile.ZipFile(out, "w", compression=zipfile.ZIP_DEFLATED) as z:
                 for i, f in enumerate(parts):
