@@ -709,6 +709,53 @@ def _scan_failure_split_sql() -> str:
     )
 
 
+def q_payload_attach(spark, sf):  # §2.13 R1: winner-row artifact bytes per jar
+    from graven_spark.plans.pipeline import attach_payload, jar_table
+
+    out = _cached_smoke_crawl(spark)
+    results = out.results(spark)
+    graph = synth.generate_graph(synth.mini_specs())
+    pages = spark.createDataFrame(graph.pages)
+    att = attach_payload(jar_table(results, "run0"), results, pages)
+    return att.select(
+        "jar_id",
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        F.length("payload").cast("long").alias("payload_len"),
+    )
+
+
+def _payload_attach_sql() -> str:
+    import hashlib
+    import re
+
+    from graven_spark.plans.pipeline import REPO_PREFIX_RE, jar_table_py
+
+    run = _smoke_oracle_run()
+    graph = synth.generate_graph(synth.mini_specs())
+    pages = {r.url: bytes(r.html) for r in graph.pages.itertuples()}
+    results = [(r["url"], r["publish_ts"]) for r in run.results]
+    # python twin of attach_payload's winner-url recovery: min(url) over the
+    # result rows sharing the winner's (jar_id, uri)
+    urls: dict[tuple, str] = {}
+    for url, _ in results:
+        uri = re.sub(REPO_PREFIX_RE, "", url)
+        key = (uri.split("/")[-1], uri)
+        if key not in urls or url < urls[key]:
+            urls[key] = url
+    vals = []
+    for j in jar_table_py(results):
+        html = pages[urls[(j["jar_id"], j["uri"])]]
+        vals.append(
+            "('%s', '%s', %d)" % (
+                _sq(j["jar_id"]), hashlib.sha256(html).hexdigest(), len(html)
+            )
+        )
+    return (
+        "SELECT jar_id, payload_sha, CAST(payload_len AS BIGINT) AS payload_len "
+        f"FROM (VALUES {', '.join(vals)}) AS t(jar_id, payload_sha, payload_len)"
+    )
+
+
 def q_run_pipeline_stages(spark, sf):  # per-worker-stage lineage rollup
     from graven_spark.plans.pipeline import stage_lineage_from
 
@@ -943,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_pipeline_sboms": q_run_pipeline_sboms,
         "run_pipeline_stages": q_run_pipeline_stages,
         "scan_failure_split": q_scan_failure_split,
+        "payload_attach": q_payload_attach,
     }
 
 
@@ -1257,4 +1305,5 @@ def oracle_sql() -> dict[str, str]:
         "run_pipeline_sboms": _run_pipeline_sboms_sql(),
         "run_pipeline_stages": _run_pipeline_stages_sql(),
         "scan_failure_split": _scan_failure_split_sql(),
+        "payload_attach": _payload_attach_sql(),
     }
