@@ -442,7 +442,7 @@ def main() -> None:
                 burn_effs[f"{lo}to{hi}"] = round(
                     burn[hi] / burn[lo] / (hi / lo), 3)
         record_scaling_window(res, burn, effs, burn_effs, rounds)
-        write_baseline_md(res, burn, effs, times, trials)
+        write_baseline_md(res, burn, effs, burn_effs, times, trials)
         print(json.dumps({"scaling": {
             "levels": {str(n): r for n, r in res.items()},
             "burn_Mops": burn, "efficiency": effs,
@@ -540,7 +540,9 @@ def read_scaling_windows() -> list[dict]:
         return [json.loads(ln) for ln in f if ln.strip()]
 
 
-def write_baseline_md(res: dict, burn: dict, effs: dict, times: int, trials: int) -> None:
+def write_baseline_md(
+    res: dict, burn: dict, effs: dict, burn_effs: dict, times: int, trials: int
+) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     any_res = next(iter(res.values()))
@@ -552,10 +554,6 @@ def write_baseline_md(res: dict, burn: dict, effs: dict, times: int, trials: int
     eff_lines = "\n".join(
         f"- **{k.replace('to', ' → ')} cores: efficiency = {v:.3f}**" for k, v in effs.items()
     )
-    burn_effs = {}
-    for lo, hi in ((8, 32), (4, 16)):
-        if lo in burn and hi in burn:
-            burn_effs[f"{lo}to{hi}"] = round(burn[hi] / burn[lo] / (hi / lo), 3)
     burn_eff_lines = "\n".join(
         f"- {k.replace('to', ' → ')} cores: hardware ceiling = {v:.3f}"
         for k, v in burn_effs.items()

@@ -97,6 +97,10 @@ def subprocess_scanner(
     - timeout       → exit_code 124, error ``timeout after <s>s``
     - missing/unreadable report despite exit 0 → exit_code 0 kept,
       error ``no report produced``
+    - NULL input value (e.g. ``attach_payload`` found no page row for the
+      jar's url, or a failed-syft row left ``_sbom_target`` NULL) → no
+      subprocess at all; error ``no input bytes`` — NOT a silent exit-0
+      scan of the literal string ``"None"``
     """
 
     def scan(jars: DataFrame) -> DataFrame:
@@ -128,6 +132,8 @@ def subprocess_scanner(
 
 
 def _scan_one(argv_template, timeout, jar_id, payload):
+    if payload is None:
+        return (jar_id, None, None, "no input bytes (NULL scan target)")
     data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode("utf-8")
     with tempfile.TemporaryDirectory(prefix="graven_scan_") as d:
         in_path = os.path.join(d, "artifact")

@@ -92,6 +92,13 @@ def _reopen_domains(
         # every recorded host (reference cli_parser.py:66-71 -u semantics);
         # host cardinality ~ domains table — AQE picks the join strategy
         hosts_df = store.read_domains(spark, k).select("host")
+    elif isinstance(cfg.update_domains, str):
+        # any other bare string would iterate per CHARACTER below,
+        # silently matching no host and no-opping the update
+        raise ValueError(
+            f"update_domains must be a list of hosts or '*', got the "
+            f"string {cfg.update_domains!r}"
+        )
     else:
         hosts_df = F.broadcast(
             spark.createDataFrame(
@@ -230,6 +237,13 @@ def crawl(
     ``tool_meta``: run_log scanner-metadata columns (syft_version /
     grype_version / grype_db_source, /root/reference/ddl/0_run_log.sql)."""
     cfg = cfg or CrawlConfig()
+    if isinstance(cfg.update_domains, str) and cfg.update_domains != "*":
+        # fail at entry, not rounds later inside _reopen_domains: a bare
+        # host string would otherwise iterate per character there
+        raise ValueError(
+            f"update_domains must be a list of hosts or '*', got the "
+            f"string {cfg.update_domains!r}"
+        )
     store = RoundStore(state_dir, compact_every=cfg.compact_every,
                        seen_buckets=cfg.seen_buckets)
 

@@ -276,7 +276,8 @@ def _jar_key(r: dict) -> tuple:
 
 
 def attach_payload(
-    jars: DataFrame, results: DataFrame, pages: DataFrame
+    jars: DataFrame, results: DataFrame, pages: DataFrame,
+    persist: bool = False,
 ) -> DataFrame:
     """jars + ``payload binary`` — the fetched artifact bytes for each jar
     row, so a REAL syft/grype binary scans the artifact itself, not its URL
@@ -290,13 +291,22 @@ def attach_payload(
     to it; min(url) breaks multi-host ties the same lexicographic way.
     Both joins key on high-cardinality jar_id/url (no skew); the pages side
     is filtered to the O(#jars) candidate urls before the html bytes move
-    (AQE broadcasts the small url set, so page bytes never shuffle)."""
+    (AQE broadcasts the small url set, so page bytes never shuffle).
+
+    ``with_url`` is read twice below (the pages semi-filter and the final
+    join) — any shape that both filters pages by the winner-url set AND
+    joins the urls back must reference that set twice, so ``persist=True``
+    (the composed run passes its own persist flag) localCheckpoints the
+    small O(#jars) frame and the results scan + winner aggregate execute
+    exactly once instead of once per reference."""
     cand = results.select(
         "url", F.regexp_replace(F.col("url"), REPO_PREFIX_RE, "").alias("uri")
     )
     cand = cand.withColumn("jar_id", F.element_at(F.split("uri", "/"), -1))
     urls = cand.groupBy("jar_id", "uri").agg(F.min("url").alias("url"))
     with_url = jars.join(urls, ["jar_id", "uri"], "left")
+    if persist:
+        with_url = with_url.localCheckpoint(eager=True)
     payloads = pages.join(
         with_url.select("url").distinct(), "url", "left_semi"
     ).select("url", F.col("html").alias("payload"))
@@ -371,7 +381,7 @@ def enrich_from_results(
     # payload attach only when a real tool will read the bytes — the pin
     # bounds it to one execution even though generator AND scanner read it
     scan_input = (
-        _pin(attach_payload(jars, results, pages))
+        _pin(attach_payload(jars, results, pages, persist=persist))
         if pages is not None and (scanner is not None or generator is not None)
         else jars
     )

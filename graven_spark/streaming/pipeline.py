@@ -20,17 +20,31 @@ from ..functions.extract import extract_text
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def stream_extract(
-    spark: SparkSession, pages_dir: str, max_files_per_trigger: int = 4
+def _read_pages_stream(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int
 ) -> DataFrame:
-    """Streaming DataFrame: pages → (url, text, lang) via the Arrow UDF."""
-    stream = (
+    return (
         spark.readStream.schema(PAGES_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(pages_dir)
     )
-    return stream.select(
+
+
+def _extract_projection(pages: DataFrame) -> DataFrame:
+    """THE sink row shape (url, text, lang, warc_ts) — single definition so
+    the plain and --budget paths can never drift apart."""
+    return pages.select(
         "url", extract_text(F.col("html")).alias("text"), "lang", "warc_ts"
+    )
+
+
+def stream_extract(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Streaming DataFrame: pages → (url, text, lang, warc_ts) via the
+    Arrow UDF."""
+    return _extract_projection(
+        _read_pages_stream(spark, pages_dir, max_files_per_trigger)
     )
 
 
@@ -77,9 +91,9 @@ def stream_host_budget(
     consumed in it); rows later than the state's window roll it forward and
     reset the count; stragglers from already-passed windows draw from the
     current window's allowance (conservative: late data can never overspend
-    a closed window). Each batch admits rows in (warc_ts, url) order and
-    emits (url, host, warc_ts). At scale state is hash-partitioned by host
-    and checkpointed by the engine — no driver residency.
+    a closed window). Each batch admits rows in (warc_ts, url) order. At
+    scale state is hash-partitioned by host and checkpointed by the engine —
+    no driver residency.
 
     State-schema compatibility: the state struct is
     ``(win_start long, taken long)`` since the windowed refresh landed
@@ -188,19 +202,12 @@ def stream_extract_to_sink(
 
     from ..functions.canon import host_of
 
+    raw = _read_pages_stream(spark, pages_dir, max_files_per_trigger)
     if budget is not None:
-        raw = (
-            spark.readStream.schema(PAGES_DDL)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(pages_dir)
-            .withColumn("host", host_of(F.col("url")))
+        raw = stream_host_budget(
+            raw.withColumn("host", host_of(F.col("url"))), budget, budget_window
         )
-        admitted = stream_host_budget(raw, budget, budget_window)
-        extracted = admitted.select(
-            "url", extract_text(F.col("html")).alias("text"), "lang", "warc_ts"
-        )
-    else:
-        extracted = stream_extract(spark, pages_dir, max_files_per_trigger)
+    extracted = _extract_projection(raw)
 
     def query_id() -> str:
         # written by the engine at query start, stable for the checkpoint's
@@ -217,6 +224,22 @@ def stream_extract_to_sink(
                 committed_by = f.read().strip()
             if committed_by == qid:
                 return  # replayed, already-committed batch: exactly-once skip
+            if committed_by == "ok":
+                # marker written by the pre-query-id code version: it cannot
+                # name its query, so a crash-replay of an UPGRADED stream on
+                # its original checkpoint must still skip (exactly-once),
+                # not wedge. Skipping matches the legacy code's behavior for
+                # legacy dirs exactly (no regression); only NEW markers get
+                # the different-query protection, so warn that this dir
+                # predates it.
+                print(
+                    f"graven_spark: sink dir {d} carries a legacy (pre-"
+                    "query-id) _COMMIT marker; skipping as committed. If "
+                    "this is a FRESH stream over a previously-used sink "
+                    "dir (not a crash-replay), point it at a fresh sink.",
+                    flush=True,
+                )
+                return
             raise RuntimeError(
                 f"sink dir {d} was committed by a different streaming query "
                 f"(marker id {committed_by!r}, current query id {qid!r}); "

@@ -474,3 +474,78 @@ def test_cli_run_with_cve_ref(spark, tmp_path):
         assert cve[cid].found == (cid in known)
         if cid in known:
             assert cve[cid].description_en == f"real desc {cid}"
+
+
+# -- round-5 self-review fixes ------------------------------------------------
+
+def test_null_payload_becomes_error_row_not_scanned(spark, tmp_path):
+    """A NULL scan target (attach_payload found no page, or a failed-syft
+    row with no jar fallback) must become a failure row WITHOUT invoking
+    the binary — never an exit-0 scan of the literal string 'None'."""
+    from graven_spark.operators.scanner import split_scan_failures, subprocess_scanner
+
+    touched = tmp_path / "touched"
+    marker_bin = _bin(
+        tmp_path, "marking_scanner",
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        f"open({str(touched)!r}, 'a').write(open(sys.argv[1], 'rb').read().hex() + chr(10))\n"
+        "open(sys.argv[2], 'w').write('{}')\n",
+    )
+    jars = spark.createDataFrame(
+        [("good.jar", bytearray(b"BYTES")), ("orphan.jar", None)],
+        "jar_id string, payload binary",
+    )
+    scanned = subprocess_scanner([marker_bin, "{in}", "{out}"])(jars)
+    ok, failures = split_scan_failures(scanned, "r5")
+    assert [r.jar_id for r in ok.collect()] == ["good.jar"]
+    fail = failures.collect()
+    assert [r.url for r in fail] == ["orphan.jar"]
+    assert "no input bytes" in fail[0].details
+    # the binary only ever saw the real bytes (one line per action on the
+    # unpinned test plan — the composed run pins `scanned` to one action);
+    # the NULL row never reached a subprocess
+    assert set(touched.read_text().splitlines()) == {b"BYTES".hex()}
+
+
+def test_stream_sink_legacy_ok_marker_skips_with_no_regression(
+    spark, smoke_graph, tmp_path
+):
+    """Pre-query-id _COMMIT markers ('ok') must not wedge a restart: the
+    batch is skipped exactly as the legacy code would have, and the stale
+    rows stay readable."""
+    from graven_spark.streaming.pipeline import (
+        read_stream_sink,
+        stream_extract_to_sink,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame(smoke_graph.pages).coalesce(2).write.parquet(pages_dir)
+    q = stream_extract_to_sink(spark, pages_dir, sink, str(tmp_path / "ckptA"))
+    q.awaitTermination()
+    n = read_stream_sink(spark, sink).count()
+    # rewrite every marker to the legacy content
+    for d in os.listdir(sink):
+        with open(os.path.join(sink, d, "_COMMIT"), "w") as f:
+            f.write("ok")
+    # a replay against the legacy markers (fresh checkpoint = same batch
+    # ids) skips instead of raising, leaving the committed rows intact
+    q2 = stream_extract_to_sink(spark, pages_dir, sink, str(tmp_path / "ckptB"))
+    q2.awaitTermination()
+    assert read_stream_sink(spark, sink).count() == n
+
+
+def test_update_domains_bare_string_rejected(spark, tmp_path):
+    from graven_spark.plans.driver import crawl
+    from graven_spark.plans.frontier import CrawlConfig
+
+    seeds = spark.createDataFrame(
+        [("http://repo.example.com/a/", 0)], "url string, seed_rank int"
+    )
+    with pytest.raises(ValueError, match="list of hosts"):
+        crawl(
+            spark, str(tmp_path / "pages"), seeds, None,
+            str(tmp_path / "state"),
+            CrawlConfig(update_domains="repo.example.com"),
+        )
