@@ -756,6 +756,158 @@ def _payload_attach_sql() -> str:
     )
 
 
+def _robots_fixture():
+    """Deterministic RFC 9309 robots.txt corpus + candidate URL grid —
+    pure data shared by the Spark queries and their DuckDB VALUES twins
+    (the oracle runs graven_spark.functions.robots.parse_robots_txt, the
+    same pure function the executor UDF runs)."""
+    texts = {
+        "a.example.com": (
+            "# site a\n"
+            "User-agent: googlebot\n"
+            "Disallow: /private/\n"
+            "\n"
+            "User-agent: graven\n"
+            "Allow: /public/*.html$\n"
+            "Disallow: /public/\n"
+            "Crawl-delay: 2.5\n"
+            "Disallow:\n"
+            "\n"
+            "User-agent: *\n"
+            "Disallow: /\n"
+            "Sitemap: https://a.example.com/sitemap.xml\n"
+        ),
+        "b.example.com": (
+            "User-agent: *\n"
+            "Disallow: /tmp/*\n"
+            "Allow: /tmp/ok\n"
+            "Sitemap: https://b.example.com/s1.xml\n"
+            "Sitemap: https://b.example.com/s2.xml\n"
+        ),
+        "c.example.com": (
+            "User-agent: *\n"
+            "Disallow: /x\n"
+            "Allow: /x\n"
+            "Crawl-delay: not-a-number\n"
+        ),
+        "e.example.com": (
+            "junk line without a colon\n"
+            "User-agent: graven\n"
+            "Disallow:\n"
+            "User-agent: *\n"
+            "Disallow: /\n"
+        ),
+    }
+    grid = [
+        "https://a.example.com/public/a.html",
+        "https://a.example.com/public/a.htmlx",
+        "https://a.example.com/public/deep/b.html",
+        "https://a.example.com/other",
+        "https://b.example.com/tmp/okra",
+        "https://b.example.com/tmp/zzz",
+        "https://b.example.com/free",
+        "https://c.example.com/x/y",
+        "https://d.example.com/anything",
+        "https://e.example.com/all/open",
+    ]
+    return texts, grid
+
+
+def _robots_pages_df(spark):
+    import datetime as dt
+
+    texts, _ = _robots_fixture()
+    rows = [
+        (f"https://{h}/robots.txt", dt.datetime(2024, 1, 1), t.encode(), None, None)
+        for h, t in sorted(texts.items())
+    ]
+    return spark.createDataFrame(rows, PAGES_DDL)
+
+
+def q_robots_parse(spark, sf):  # RFC 9309 parse → per-host rules table
+    from graven_spark.functions.robots import rules_from_robots_pages
+
+    rules = rules_from_robots_pages(_robots_pages_df(spark), "graven")
+    return rules.select(
+        "host",
+        "crawl_delay",
+        F.concat_ws(",", "sitemaps").alias("sitemaps"),
+        F.posexplode_outer("rules").alias("rule_idx", "r"),
+    ).select(
+        "host",
+        # NULL-free sentinels for the rule-less host row: a nullable
+        # BOOLEAN round-trips as None via Spark but NaN via DuckDB, which
+        # sorts differently under the driver's string normalization
+        F.coalesce(F.col("rule_idx").cast("int"), F.lit(-1)).alias("rule_idx"),
+        F.coalesce(F.col("r.allow").cast("string"), F.lit("")).alias("allow"),
+        F.coalesce(F.col("r.rx"), F.lit("")).alias("rx"),
+        F.coalesce(F.col("r.plen").cast("int"), F.lit(-1)).alias("plen"),
+        "crawl_delay",
+        "sitemaps",
+    )
+
+
+def _robots_parse_sql() -> str:
+    from graven_spark.functions.robots import parse_robots_txt, pattern_to_regex
+
+    texts, _ = _robots_fixture()
+    vals = []
+    for host in sorted(texts):
+        p = parse_robots_txt(texts[host], "graven")
+        delay = "CAST(NULL AS DOUBLE)" if p["crawl_delay"] is None else repr(p["crawl_delay"])
+        sitemaps = ",".join(p["sitemaps"])
+        if not p["rules"]:
+            vals.append(f"('{host}', -1, '', '', -1, {delay}, '{_sq(sitemaps)}')")
+            continue
+        for idx, (allow, pattern) in enumerate(p["rules"]):
+            vals.append(
+                f"('{host}', {idx}, '{'true' if allow else 'false'}', "
+                f"'{_sq(pattern_to_regex(pattern))}', {len(pattern)}, "
+                f"{delay}, '{_sq(sitemaps)}')"
+            )
+    return (
+        "SELECT host, CAST(rule_idx AS INTEGER) AS rule_idx, allow, rx, "
+        "CAST(plen AS INTEGER) AS plen, CAST(crawl_delay AS DOUBLE) AS "
+        f"crawl_delay, sitemaps FROM (VALUES {', '.join(vals)}) "
+        "AS t(host, rule_idx, allow, rx, plen, crawl_delay, sitemaps)"
+    )
+
+
+def q_robots_gate(spark, sf):  # longest-match verdict per candidate URL
+    from graven_spark.functions.canon import host_of, path_of
+    from graven_spark.functions.robots import (
+        robots_allowed_col,
+        rules_from_robots_pages,
+    )
+
+    _, grid = _robots_fixture()
+    rules = rules_from_robots_pages(_robots_pages_df(spark), "graven")
+    cand = spark.createDataFrame([(u,) for u in grid], "url string").withColumn(
+        "host", host_of(F.col("url"))
+    )
+    joined = cand.join(F.broadcast(rules.select("host", "rules")), "host", "left")
+    return joined.select(
+        "url",
+        robots_allowed_col(path_of(F.col("url")), F.col("rules")).alias("allowed"),
+    )
+
+
+def _robots_gate_sql() -> str:
+    from graven_spark.core import url_path
+    from graven_spark.functions.robots import parse_robots_txt, robots_allowed
+
+    texts, grid = _robots_fixture()
+    rules = {h: parse_robots_txt(t, "graven")["rules"] for h, t in texts.items()}
+    vals = []
+    for url in grid:
+        host = url.split("/")[2]
+        ok = robots_allowed(url_path(url), rules.get(host, []))
+        vals.append(f"('{url}', {'TRUE' if ok else 'FALSE'})")
+    return (
+        f"SELECT url, allowed FROM (VALUES {', '.join(vals)}) AS t(url, allowed)"
+    )
+
+
 def q_run_pipeline_stages(spark, sf):  # per-worker-stage lineage rollup
     from graven_spark.plans.pipeline import stage_lineage_from
 
@@ -991,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_pipeline_stages": q_run_pipeline_stages,
         "scan_failure_split": q_scan_failure_split,
         "payload_attach": q_payload_attach,
+        "robots_parse": q_robots_parse,
+        "robots_gate": q_robots_gate,
     }
 
 
@@ -1306,4 +1460,6 @@ def oracle_sql() -> dict[str, str]:
         "run_pipeline_stages": _run_pipeline_stages_sql(),
         "scan_failure_split": _scan_failure_split_sql(),
         "payload_attach": _payload_attach_sql(),
+        "robots_parse": _robots_parse_sql(),
+        "robots_gate": _robots_gate_sql(),
     }

@@ -136,6 +136,14 @@ def main(argv: list[str] | None = None) -> int:
                        help="seed CSV (col 0 = url) or parquet")
         c.add_argument("--state", required=True, help="checkpoint/state directory")
         c.add_argument("--robots", default=None, help="robots rules parquet")
+        c.add_argument("--robots-rfc", action="store_true",
+                       help="derive RFC 9309 robots rules from the "
+                            "/robots.txt pages inside --pages (wildcards + "
+                            "longest-match precedence) instead of a "
+                            "pre-parsed --robots table")
+        c.add_argument("--robots-agent", default="graven",
+                       help="user-agent product token for --robots-rfc "
+                            "group selection (default: graven)")
         c.add_argument("--budget", type=int, default=None,
                        help="default per-host per-round budget; 0 selects nothing "
                             "for a host, so a crawl whose every pending host has "
@@ -383,7 +391,19 @@ def main(argv: list[str] | None = None) -> int:
             **({"default_budget": args.budget} if args.budget is not None else {}),
         )
         seeds = read_seeds(spark, args.seeds)
-        robots = spark.read.parquet(args.robots) if args.robots else None
+        if args.robots_rfc:
+            if args.robots:
+                p.error("--robots and --robots-rfc are mutually exclusive")
+            from .functions.robots import rules_from_robots_pages
+
+            # pin the tiny O(#hosts) rules table once: every round's gate
+            # reads it, and re-deriving would re-scan the pages table for
+            # robots.txt rows each round
+            robots = rules_from_robots_pages(
+                spark.read.parquet(args.pages), args.robots_agent
+            ).localCheckpoint()
+        else:
+            robots = spark.read.parquet(args.robots) if args.robots else None
         if args.cmd == "run":
             from .plans.pipeline import run_pipeline
 

@@ -43,9 +43,18 @@ _MIN_PRIO = -(1 << 63)  # Long.MinValue — a threshold that selects nothing
 
 def gate_robots(candidates: DataFrame, robots: DataFrame | None, url_col: str = "url") -> DataFrame:
     """Drop candidates whose URL path starts with a disallowed prefix for its
-    host. Keeps hosts with no robots row."""
+    host. Keeps hosts with no robots row.
+
+    Dispatches on the robots frame's shape: a ``rules`` column means the
+    RFC 9309 table built by ``functions.robots.rules_from_robots_pages``
+    (wildcards + longest-match precedence, JVM-side); the legacy
+    ``disallow_prefixes`` shape keeps its simple prefix semantics."""
     if robots is None:
         return candidates
+    if "rules" in robots.columns:
+        from ..functions.robots import gate_robots_rfc
+
+        return gate_robots_rfc(candidates, robots, url_col=url_col)
     rules = robots.select("host", "disallow_prefixes")
     from ..functions.canon import path_of
 
@@ -70,7 +79,7 @@ def host_thresholds(
     """Per-host selection thresholds: (host, _thr). Hosts within budget get
     _thr = +inf; over-budget hosts get the budget-th smallest priority via
     salted prune + exact token bucket."""
-    if robots is not None:
+    if robots is not None and "crawl_delay_tokens" in robots.columns:
         budgets = robots.select(
             "host", F.col("crawl_delay_tokens").cast("long").alias("_budget")
         )
