@@ -908,6 +908,185 @@ def _robots_gate_sql() -> str:
     )
 
 
+def q_robots_delay_budget(spark, sf):  # RFC Crawl-delay → per-round budget
+    from graven_spark.functions.robots import rules_from_robots_pages
+    from graven_spark.operators.politeness import rfc_delay_budgets
+
+    rules = rules_from_robots_pages(_robots_pages_df(spark), "graven")
+    return rfc_delay_budgets(rules, 10.0).select(
+        "host",
+        F.coalesce(F.col("_budget"), F.lit(7)).cast("long").alias("budget"),
+    )
+
+
+def _robots_delay_budget_sql() -> str:
+    import math
+
+    from graven_spark.functions.robots import parse_robots_txt
+
+    texts, _ = _robots_fixture()
+    vals = []
+    for host in sorted(texts):
+        d = parse_robots_txt(texts[host], "graven")["crawl_delay"]
+        budget = max(1, math.floor(10.0 / d)) if d and d > 0 else 7
+        vals.append(f"('{host}', {budget})")
+    return (
+        "SELECT host, CAST(budget AS BIGINT) AS budget "
+        f"FROM (VALUES {', '.join(vals)}) AS t(host, budget)"
+    )
+
+
+def _sitemap_fixture():
+    """Deterministic sitemap corpus (robots advertisements + index nesting +
+    malformed body + cross-sitemap duplicate locs) shared by the Spark
+    queries and their VALUES twins (the oracle runs
+    graven_spark.functions.sitemap.parse_sitemap, the same pure function
+    the executor UDF runs)."""
+    sm = {
+        "https://sa.example.com/idx.xml": (
+            b"<sitemapindex xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'>"
+            b"<sitemap><loc>https://sa.example.com/c1.xml</loc>"
+            b"<lastmod>2024-02-01</lastmod></sitemap>"
+            b"<sitemap><loc>https://sa.example.com/c2.xml</loc></sitemap>"
+            b"</sitemapindex>"
+        ),
+        "https://sa.example.com/c1.xml": (
+            b"<urlset><url><loc>https://sa.example.com/p1</loc>"
+            b"<lastmod>2024-01-02</lastmod><changefreq>daily</changefreq>"
+            b"<priority>0.8</priority></url>"
+            b"<url><loc>https://sa.example.com/p2</loc><priority>7</priority>"
+            b"</url><url><lastmod>2024-01-01</lastmod></url></urlset>"
+        ),
+        "https://sa.example.com/c2.xml": (
+            b"<urlset><url><loc>https://sa.example.com/p2</loc></url>"
+            b"<url><loc>https://sa.example.com/p3</loc>"
+            b"<priority>junk</priority></url></urlset>"
+        ),
+        "https://sb.example.com/direct.xml": (
+            b"<urlset><url><loc>https://sb.example.com/q1</loc></url>"
+            b"<url><loc>https://sa.example.com/p1</loc></url></urlset>"
+        ),
+        "https://sb.example.com/broken.xml": b"junk < not xml",
+    }
+    robots = {
+        "sa.example.com": (
+            "User-agent: *\nDisallow:\n"
+            "Sitemap: https://sa.example.com/idx.xml\n"
+        ),
+        "sb.example.com": (
+            "User-agent: *\nDisallow:\n"
+            "Sitemap: https://sb.example.com/direct.xml\n"
+            "Sitemap: https://sb.example.com/broken.xml\n"
+        ),
+    }
+    return sm, robots
+
+
+def _sitemap_pages_df(spark):
+    import datetime as dt
+
+    sm, robots = _sitemap_fixture()
+    rows = [
+        (u, dt.datetime(2024, 1, 1), b, None, None) for u, b in sorted(sm.items())
+    ] + [
+        (f"https://{h}/robots.txt", dt.datetime(2024, 1, 1), t.encode(), None, None)
+        for h, t in sorted(robots.items())
+    ]
+    return spark.createDataFrame(rows, PAGES_DDL)
+
+
+def q_sitemap_parse(spark, sf):  # sitemap XML → exploded entry rows
+    from graven_spark.functions.sitemap import entries_from_sitemap_pages
+
+    sm, _ = _sitemap_fixture()
+    pages = _sitemap_pages_df(spark).filter(F.col("url").isin(*sm))
+    e = entries_from_sitemap_pages(pages)
+    return e.select(
+        "sitemap_url",
+        # NULL-free sentinels (same driver-normalization rationale as
+        # robots_parse): kind NULL only for malformed bodies
+        F.coalesce("kind", F.lit("")).alias("kind"),
+        F.col("parse_failed").cast("string").alias("parse_failed"),
+        F.coalesce(F.col("entry_idx").cast("int"), F.lit(-1)).alias("entry_idx"),
+        F.coalesce("loc", F.lit("")).alias("loc"),
+        F.coalesce("lastmod", F.lit("")).alias("lastmod"),
+        F.coalesce("changefreq", F.lit("")).alias("changefreq"),
+        F.col("priority").cast("double").alias("priority"),
+    )
+
+
+def _sitemap_parse_sql() -> str:
+    from graven_spark.functions.sitemap import parse_sitemap
+
+    sm, _ = _sitemap_fixture()
+    vals = []
+    for u in sorted(sm):
+        p = parse_sitemap(sm[u])
+        if not p["entries"]:
+            vals.append(
+                f"('{u}', '{p['kind'] or ''}', "
+                f"'{'true' if p['parse_failed'] else 'false'}', -1, '', '', "
+                "'', CAST(NULL AS DOUBLE))"
+            )
+            continue
+        for i, (loc, lastmod, cf, prio) in enumerate(p["entries"]):
+            pv = "CAST(NULL AS DOUBLE)" if prio is None else repr(prio)
+            vals.append(
+                f"('{u}', '{p['kind']}', "
+                f"'{'true' if p['parse_failed'] else 'false'}', {i}, "
+                f"'{_sq(loc)}', '{_sq(lastmod or '')}', '{_sq(cf or '')}', {pv})"
+            )
+    return (
+        "SELECT sitemap_url, kind, parse_failed, CAST(entry_idx AS INTEGER) "
+        "AS entry_idx, loc, lastmod, changefreq, CAST(priority AS DOUBLE) AS "
+        f"priority FROM (VALUES {', '.join(vals)}) AS t(sitemap_url, kind, "
+        "parse_failed, entry_idx, loc, lastmod, changefreq, priority)"
+    )
+
+
+def q_sitemap_seeds(spark, sf):  # robots-advertised sitemaps → ordered seeds
+    from graven_spark.functions.robots import rules_from_robots_pages
+    from graven_spark.functions.sitemap import seeds_from_sitemaps
+
+    pages = _sitemap_pages_df(spark)
+    rules = rules_from_robots_pages(pages, "graven")
+    return seeds_from_sitemaps(pages, rules).select(
+        "url", F.col("seed_rank").cast("int").alias("seed_rank")
+    )
+
+
+def _sitemap_seeds_sql() -> str:
+    from graven_spark.functions.robots import parse_robots_txt
+    from graven_spark.functions.sitemap import parse_sitemap
+
+    sm, robots = _sitemap_fixture()
+    advertised = sorted(
+        {s for t in robots.values() for s in parse_robots_txt(t, "graven")["sitemaps"]}
+    )
+    # one index-nesting level, then order by (sitemap_url, entry_idx)
+    parsed = {u: parse_sitemap(sm[u]) for u in advertised if u in sm}
+    nested = sorted(
+        {e[0] for p in parsed.values() if p["kind"] == "index" for e in p["entries"]}
+    )
+    for u in nested:
+        if u in sm and u not in parsed:
+            parsed[u] = parse_sitemap(sm[u])
+    seen, ordered = set(), []
+    for u in sorted(parsed):
+        p = parsed[u]
+        if p["kind"] != "urlset":
+            continue
+        for loc, *_ in p["entries"]:
+            if loc not in seen:
+                seen.add(loc)
+                ordered.append(loc)
+    vals = ", ".join(f"('{_sq(u)}', {i + 1})" for i, u in enumerate(ordered))
+    return (
+        "SELECT url, CAST(seed_rank AS INTEGER) AS seed_rank "
+        f"FROM (VALUES {vals}) AS t(url, seed_rank)"
+    )
+
+
 def q_run_pipeline_stages(spark, sf):  # per-worker-stage lineage rollup
     from graven_spark.plans.pipeline import stage_lineage_from
 
@@ -1145,6 +1324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_attach": q_payload_attach,
         "robots_parse": q_robots_parse,
         "robots_gate": q_robots_gate,
+        "sitemap_parse": q_sitemap_parse,
+        "sitemap_seeds": q_sitemap_seeds,
+        "robots_delay_budget": q_robots_delay_budget,
     }
 
 
@@ -1462,4 +1644,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_attach": _payload_attach_sql(),
         "robots_parse": _robots_parse_sql(),
         "robots_gate": _robots_gate_sql(),
+        "sitemap_parse": _sitemap_parse_sql(),
+        "sitemap_seeds": _sitemap_seeds_sql(),
+        "robots_delay_budget": _robots_delay_budget_sql(),
     }

@@ -132,8 +132,15 @@ def main(argv: list[str] | None = None) -> int:
 
     def add_crawl_args(c):
         c.add_argument("--pages", required=True, help="pages table path (parquet)")
-        c.add_argument("--seeds", required=True,
-                       help="seed CSV (col 0 = url) or parquet")
+        c.add_argument("--seeds", default=None,
+                       help="seed CSV (col 0 = url) or parquet; optional "
+                            "when --sitemap-seeds supplies the roots")
+        c.add_argument("--sitemap-seeds", action="store_true",
+                       help="append seeds discovered via robots-advertised "
+                            "sitemaps (urlset + one sitemapindex nesting "
+                            "level, document order) after any --seeds rows; "
+                            "requires --robots-rfc (the rules table carries "
+                            "the Sitemap: advertisements)")
         c.add_argument("--state", required=True, help="checkpoint/state directory")
         c.add_argument("--robots", default=None, help="robots rules parquet")
         c.add_argument("--robots-rfc", action="store_true",
@@ -144,6 +151,12 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--robots-agent", default="graven",
                        help="user-agent product token for --robots-rfc "
                             "group selection (default: graven)")
+        c.add_argument("--delay-window", type=float, default=None,
+                       metavar="SECONDS",
+                       help="with --robots-rfc: one crawl round models this "
+                            "many seconds, so a host's Crawl-delay d yields "
+                            "a per-round budget max(1, floor(SECONDS/d)); "
+                            "hosts without Crawl-delay keep --budget")
         c.add_argument("--budget", type=int, default=None,
                        help="default per-host per-round budget; 0 selects nothing "
                             "for a host, so a crawl whose every pending host has "
@@ -383,6 +396,7 @@ def main(argv: list[str] | None = None) -> int:
             max_rounds=args.max_rounds,
             max_retries=args.max_retries,
             jar_limit=args.jar_limit,
+            delay_window_s=args.delay_window,
             seen_buckets=args.seen_buckets,
             update_domains=update_domains,
             update_url_prefix=update_prefix,
@@ -390,7 +404,12 @@ def main(argv: list[str] | None = None) -> int:
             max_batch_rounds=args.batch_max,
             **({"default_budget": args.budget} if args.budget is not None else {}),
         )
-        seeds = read_seeds(spark, args.seeds)
+        if not args.seeds and not args.sitemap_seeds:
+            p.error("one of --seeds / --sitemap-seeds is required")
+        if args.sitemap_seeds and not args.robots_rfc:
+            p.error("--sitemap-seeds requires --robots-rfc (sitemaps come "
+                    "from the parsed robots.txt advertisements)")
+        seeds = read_seeds(spark, args.seeds) if args.seeds else None
         if args.robots_rfc:
             if args.robots:
                 p.error("--robots and --robots-rfc are mutually exclusive")
@@ -404,6 +423,23 @@ def main(argv: list[str] | None = None) -> int:
             ).localCheckpoint()
         else:
             robots = spark.read.parquet(args.robots) if args.robots else None
+        if args.sitemap_seeds:
+            from .functions.sitemap import seeds_from_sitemaps
+
+            sm = seeds_from_sitemaps(spark.read.parquet(args.pages), robots)
+            if seeds is None:
+                seeds = sm.select(F.col("seed_rank") - 1, "url") \
+                    .toDF("seed_rank", "url")
+            else:
+                # append after the explicit seeds, first occurrence wins
+                n0 = seeds.count()  # seed files are tiny by construction
+                extra = (
+                    sm.join(seeds.select("url"), "url", "anti")
+                    .select((F.col("seed_rank") + n0 - 1).alias("seed_rank"),
+                            "url")
+                )
+                seeds = seeds.unionByName(extra)
+            seeds = seeds.localCheckpoint()  # pin: read every round
         if args.cmd == "run":
             from .plans.pipeline import run_pipeline
 

@@ -70,19 +70,52 @@ def gate_robots(candidates: DataFrame, robots: DataFrame | None, url_col: str = 
     )
 
 
+def rfc_delay_budgets(robots: DataFrame, delay_window_s: float) -> DataFrame:
+    """RFC rules table (``crawl_delay`` seconds per request) → per-host
+    round budget: one round models ``delay_window_s`` seconds of wall time,
+    so a host granting one request per ``d`` seconds gets
+    ``max(1, floor(window / d))`` fetches per round — floored at 1 so a
+    delay longer than the window slows a host, never starves it. Hosts
+    without a Crawl-delay line get NULL (caller coalesces to the default
+    budget)."""
+    d = F.col("crawl_delay")
+    return robots.select(
+        "host",
+        F.when(
+            d.isNotNull() & (d > 0),
+            F.greatest(F.lit(1), F.floor(F.lit(float(delay_window_s)) / d)),
+        ).cast("long").alias("_budget"),
+    )
+
+
 def host_thresholds(
     frontier: DataFrame,
     robots: DataFrame | None,
     default_budget: int,
     n_salts: int,
+    delay_window_s: float | None = None,
 ) -> DataFrame:
     """Per-host selection thresholds: (host, _thr). Hosts within budget get
     _thr = +inf; over-budget hosts get the budget-th smallest priority via
-    salted prune + exact token bucket."""
+    salted prune + exact token bucket.
+
+    Per-host budgets come from the robots frame's shape: a legacy
+    ``crawl_delay_tokens`` column is taken as-is; an RFC table's
+    ``crawl_delay`` (seconds) converts via :func:`rfc_delay_budgets` when
+    ``delay_window_s`` is set (without it, RFC Crawl-delay lines are inert
+    and every host gets the default budget)."""
+    budgets = None
     if robots is not None and "crawl_delay_tokens" in robots.columns:
         budgets = robots.select(
             "host", F.col("crawl_delay_tokens").cast("long").alias("_budget")
         )
+    elif (
+        robots is not None
+        and delay_window_s is not None
+        and "crawl_delay" in robots.columns
+    ):
+        budgets = rfc_delay_budgets(robots, delay_window_s)
+    if budgets is not None:
         hosted = frontier.join(F.broadcast(budgets), "host", "left").withColumn(
             "_budget", F.coalesce("_budget", F.lit(default_budget))
         )
@@ -180,6 +213,7 @@ def select_round(
     robots: DataFrame | None,
     default_budget: int = DEFAULT_BUDGET,
     n_salts: int = 8,
+    delay_window_s: float | None = None,
 ) -> DataFrame:
     """Split the frontier into this round's fetch set vs deferred rows.
 
@@ -191,7 +225,8 @@ def select_round(
         # politeness disabled → selection is a no-op; don't pay anything.
         return frontier.withColumn("selected", F.lit(True))
 
-    thr = host_thresholds(frontier, robots, default_budget, n_salts)
+    thr = host_thresholds(frontier, robots, default_budget, n_salts,
+                          delay_window_s=delay_window_s)
     return (
         frontier.join(F.broadcast(thr), "host", "left")
         .withColumn(

@@ -76,6 +76,9 @@ class CrawlConfig:
     # deferred set re-ranks ahead of newer discoveries, exactly the
     # reference's "waiting on the semaphore" queue position). None = off.
     jar_limit: int | None = None
+    # RFC robots Crawl-delay → per-host round budget: one round models this
+    # many seconds of wall time (None = Crawl-delay lines are inert).
+    delay_window_s: float | None = None
     seen_buckets: int = SEEN_BUCKETS_DEFAULT
     bloom_broadcast_limit: int = BLOOM_BROADCAST_LIMIT
     # Frontier-size-adaptive round batching (SURVEY.md §7.4.5): when the
@@ -249,7 +252,8 @@ def _round_dataflow(
     Mid-batch fault tolerance is not lost: a crashed batch recomputes from
     the committed round."""
     # -- politeness selection (W3/T3) --------------------------------------
-    flagged = select_round(frontier, robots, cfg.default_budget, cfg.n_salts)
+    flagged = select_round(frontier, robots, cfg.default_budget, cfg.n_salts,
+                           delay_window_s=cfg.delay_window_s)
     selected = flagged.filter(F.col("selected")).drop("selected")
     deferred = flagged.filter(~F.col("selected")).drop("selected").select(*FRONTIER_COLS)
 

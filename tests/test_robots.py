@@ -213,3 +213,38 @@ def test_cli_crawl_robots_rfc_end_to_end(spark, tmp_path):
     with pytest.raises(SystemExit):
         main(["crawl", "--pages", pages, "--seeds", str(seeds_csv),
               "--state", state, "--robots-rfc", "--robots", pages])
+
+
+def test_rfc_crawl_delay_drives_round_budget(spark):
+    from graven_spark.operators.politeness import rfc_delay_budgets, select_round
+
+    pages = spark.createDataFrame(
+        [(f"https://{h}/robots.txt", dt.datetime(2024, 1, 1), t, None, None)
+         for h, t in [
+             ("slow.example.com", b"User-agent: *\nDisallow:\nCrawl-delay: 5\n"),
+             ("huge.example.com", b"User-agent: *\nDisallow:\nCrawl-delay: 99\n"),
+             ("free.example.com", b"User-agent: *\nDisallow:\n"),
+         ]], PAGES_DDL)
+    rules = rules_from_robots_pages(pages, "graven")
+
+    got = {r["host"]: r["_budget"] for r in rfc_delay_budgets(rules, 10.0).collect()}
+    # window 10s: delay 5 -> 2/round; delay 99 -> floor 0 -> floored at 1
+    assert got == {"slow.example.com": 2, "huge.example.com": 1,
+                   "free.example.com": None}
+
+    frontier = spark.createDataFrame(
+        [(f"https://{h}/u{i}", h, 0, i, None, i, 0)
+         for h in ("slow.example.com", "huge.example.com", "free.example.com")
+         for i in range(4)],
+        "url string, host string, depth int, priority long, "
+        "parent_url string, discovery_idx long, retry_count int")
+    sel = select_round(frontier, rules, default_budget=3, n_salts=2,
+                       delay_window_s=10.0)
+    picked = sorted(r.url for r in sel.filter(F.col("selected")).collect())
+    by_host = {h: sum(1 for u in picked if h in u)
+               for h in ("slow", "huge", "free")}
+    assert by_host == {"slow": 2, "huge": 1, "free": 3}
+
+    # without a delay window the Crawl-delay lines are inert: default rules
+    sel0 = select_round(frontier, rules, default_budget=3, n_salts=2)
+    assert sel0.filter(F.col("selected")).count() == 9  # 3 hosts x default 3
