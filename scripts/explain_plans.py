@@ -280,6 +280,45 @@ def main() -> None:
     ))
     spark.sql("DROP TABLE IF EXISTS plans_cve_ref")
 
+    # -- RFC robots gate: per-URL verdict must stay JVM-side -----------------
+    # The Arrow parse UDF belongs to the tiny rules derivation (pinned by
+    # localCheckpoint in the CLI); the frontier-scale gate must be a
+    # broadcast join + codegen fold with NO Python evaluation node.
+    import datetime as _dt
+
+    from graven_spark.functions.robots import (
+        gate_robots_rfc,
+        rules_from_robots_pages,
+    )
+
+    robots_pages = spark.createDataFrame(
+        [("https://h0.example.com/robots.txt", _dt.datetime(2024, 1, 1),
+          b"User-agent: *\nAllow: /keep/*.html$\nDisallow: /keep/\n",
+          None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    rules = rules_from_robots_pages(robots_pages, "graven").localCheckpoint()
+    # host must be a derived column (as in the real frontier) — a literal
+    # host constant-folds the join key and degrades to a nested-loop join.
+    cand = spark.range(10000).select(
+        F.concat(F.lit("https://h0.example.com/keep/p"), F.col("id"))
+        .alias("url"),
+    ).withColumn("host", host_of(F.col("url")))
+    gate_plan = formatted(gate_robots_rfc(cand, rules))
+    EXTRA_CHECKS.append((
+        "robots RFC gate: BroadcastHashJoin on host, zero Python eval nodes "
+        "(ArrowEval/BatchEvalPython) in the per-URL path",
+        "BroadcastHashJoin" in gate_plan
+        and "EvalPython" not in gate_plan
+        and "ArrowEval" not in gate_plan,
+    ))
+    sections.append((
+        "RFC robots gate (candidates ⋈ broadcast rules; JVM-only "
+        "longest-match fold)",
+        gate_plan,
+        ["BroadcastHashJoin"],
+    ))
+
     lines = ["# PLANS — physical-plan evidence for the hot paths",
              "",
              "Generated by `python scripts/explain_plans.py`. Each section lists",
