@@ -1087,6 +1087,51 @@ def _sitemap_seeds_sql() -> str:
     )
 
 
+def _urlnorm_fixture() -> list[str]:
+    """Deterministic RFC 3986 edge-case corpus shared by the Spark query
+    and its VALUES twin (the oracle runs normalize_url_py, the pure twin
+    the column expression mirrors step for step)."""
+    return [
+        "HTTP://Example.COM:80/a/b/../c/./d.html?x=1#frag",
+        "https://Host:443/",
+        "https://host:8443/x",
+        "http://h/a/b/..",
+        "http://h/a/.",
+        "http://h/..",
+        "http://h",
+        "http://h?q=1",
+        "http://h/a//b/./../c",
+        "http://user@Host:80/p",
+        "ftp://H/a/../",
+        "no-scheme/path",
+        "http://h/a#b://c",
+        "x#y://z",
+        "http://",
+        "http://h/%41?Y=2",
+        "http://a@b@C/p",
+        "https://host0.example.com/maven2/d0s0/https://host0.example.com/maven2/",
+    ]
+
+
+def q_url_normalize(spark, sf):  # RFC 3986 syntactic normalization (JVM fold)
+    from graven_spark.functions.urlnorm import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in _urlnorm_fixture()], "url string")
+    return df.select("url", normalize_url(F.col("url")).alias("normalized"))
+
+
+def _url_normalize_sql() -> str:
+    from graven_spark.functions.urlnorm import normalize_url_py
+
+    vals = ", ".join(
+        f"('{_sq(u)}', '{_sq(normalize_url_py(u))}')" for u in _urlnorm_fixture()
+    )
+    return (
+        "SELECT url, normalized "
+        f"FROM (VALUES {vals}) AS t(url, normalized)"
+    )
+
+
 def q_run_pipeline_stages(spark, sf):  # per-worker-stage lineage rollup
     from graven_spark.plans.pipeline import stage_lineage_from
 
@@ -1327,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "sitemap_seeds": q_sitemap_seeds,
         "robots_delay_budget": q_robots_delay_budget,
+        "url_normalize": q_url_normalize,
     }
 
 
@@ -1647,4 +1693,5 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": _sitemap_parse_sql(),
         "sitemap_seeds": _sitemap_seeds_sql(),
         "robots_delay_budget": _robots_delay_budget_sql(),
+        "url_normalize": _url_normalize_sql(),
     }

@@ -157,6 +157,13 @@ def main(argv: list[str] | None = None) -> int:
                             "many seconds, so a host's Crawl-delay d yields "
                             "a per-round budget max(1, floor(SECONDS/d)); "
                             "hosts without Crawl-delay keep --budget")
+        c.add_argument("--normalize-urls", action="store_true",
+                       help="apply RFC 3986 syntactic normalization "
+                            "(lowercase scheme/host, default-port strip, "
+                            "fragment strip, dot-segment resolution) to "
+                            "seeds and discovered URLs before the seen "
+                            "probe; off by default for reference replay "
+                            "parity")
         c.add_argument("--budget", type=int, default=None,
                        help="default per-host per-round budget; 0 selects nothing "
                             "for a host, so a crawl whose every pending host has "
@@ -397,6 +404,7 @@ def main(argv: list[str] | None = None) -> int:
             max_retries=args.max_retries,
             jar_limit=args.jar_limit,
             delay_window_s=args.delay_window,
+            normalize_urls=args.normalize_urls,
             seen_buckets=args.seen_buckets,
             update_domains=update_domains,
             update_url_prefix=update_prefix,

@@ -79,6 +79,12 @@ class CrawlConfig:
     # RFC robots Crawl-delay → per-host round budget: one round models this
     # many seconds of wall time (None = Crawl-delay lines are inert).
     delay_window_s: float | None = None
+    # RFC 3986 syntactic normalization (functions/urlnorm.py) applied to
+    # seeds and discovered URLs BEFORE the seen probe, collapsing aliases
+    # like /a/../b vs /b into one frontier row. Off by default: the
+    # reference's concat absolutization does no normalization, so replay
+    # parity requires the raw strings.
+    normalize_urls: bool = False
     seen_buckets: int = SEEN_BUCKETS_DEFAULT
     bloom_broadcast_limit: int = BLOOM_BROADCAST_LIMIT
     # Frontier-size-adaptive round batching (SURVEY.md §7.4.5): when the
@@ -171,9 +177,14 @@ def init_run(
 ) -> RoundMeta:
     """Seed admission → round 0 state (reference: crawler.py:189-203; seed
     file order is the inter-root priority, cli_parser.py:246-259)."""
+    seed_url = canonicalize(F.col("url"))
+    if cfg.normalize_urls:
+        from ..functions.urlnorm import normalize_url
+
+        seed_url = normalize_url(seed_url)
     cand = (
         seeds.select(
-            canonicalize(F.col("url")).alias("url"),
+            seed_url.alias("url"),
             F.col("seed_rank").cast("long").alias("priority"),
         )
         .withColumn("host", host_of(F.col("url")))
@@ -327,8 +338,13 @@ def _round_dataflow(
         F.col("fifo_rank"),
         F.posexplode(F.col("ext.links")).alias("discovery_idx", "link"),
     )
+    child_url = F.concat(F.col("parent_url"), F.col("link.href"))
+    if cfg.normalize_urls:
+        from ..functions.urlnorm import normalize_url
+
+        child_url = normalize_url(child_url)
     cand = links.select(
-        F.concat(F.col("parent_url"), F.col("link.href")).alias("url"),
+        child_url.alias("url"),
         (F.col("parent_depth") + 1).alias("depth"),
         (
             F.lit(priority_base)
