@@ -319,6 +319,23 @@ def main() -> None:
         ["BroadcastHashJoin"],
     ))
 
+    # -- RFC 3986 normalization: pure codegen, no Python eval nodes ----------
+    from graven_spark.functions.urlnorm import normalize_url
+
+    norm_plan = formatted(
+        cand.select(normalize_url(F.col("url")).alias("url"))
+    )
+    EXTRA_CHECKS.append((
+        "url normalization: zero Python eval nodes (the dot-segment fold is "
+        "a JVM higher-order aggregate)",
+        "EvalPython" not in norm_plan and "ArrowEval" not in norm_plan,
+    ))
+    sections.append((
+        "RFC 3986 URL normalization (admission-path column expression)",
+        norm_plan,
+        ["Project"],
+    ))
+
     lines = ["# PLANS — physical-plan evidence for the hot paths",
              "",
              "Generated by `python scripts/explain_plans.py`. Each section lists",
