@@ -85,6 +85,14 @@ class CrawlConfig:
     # reference's concat absolutization does no normalization, so replay
     # parity requires the raw strings.
     normalize_urls: bool = False
+    # Run the Arrow extraction UDFs once per DISTINCT page body instead of
+    # once per URL: bodies are grouped on sha2(html) (map-side partial
+    # first(html), so the shuffle carries one body per distinct hash per
+    # partition), extracted, and broadcast-joined back. Byte-identical
+    # bodies extract to byte-identical results, so outputs are unchanged
+    # (equivalence-tested); a Common-Crawl-style corpus has ~25-30% exact
+    # duplicate bodies, which this removes from the Python-side cost.
+    dedup_content: bool = False
     seen_buckets: int = SEEN_BUCKETS_DEFAULT
     bloom_broadcast_limit: int = BLOOM_BROADCAST_LIMIT
     # Frontier-size-adaptive round batching (SURVEY.md §7.4.5): when the
@@ -296,13 +304,35 @@ def _round_dataflow(
 
     # -- fetch join (J2): huge pages scan ⋈ broadcast round set -------------
     pages = spark.read.parquet(pages_path).select("url", "html")
-    fetched = (
-        pages.join(F.broadcast(ranked), "url", "inner")
-        .withColumn("page_bytes", F.length("html").cast("long"))
-        .withColumn("ext", extract_links(F.col("html")))
-        .drop("html")
-        .persist()
-    )
+    fetch0 = pages.join(F.broadcast(ranked), "url", "inner")
+    extra_persists: list = []
+    if cfg.dedup_content:
+        # one pages scan: fetch0 (with html) is the round's fetch set and
+        # is cached; the distinct-body extraction and the join-back both
+        # derive from the cache
+        fetch0 = fetch0.withColumn(
+            "body_sha", F.sha2(F.col("html"), 256)
+        ).persist()
+        extra_persists.append(fetch0)
+        exts = (
+            fetch0.groupBy("body_sha")
+            .agg(F.first("html").alias("html"))
+            .select("body_sha", extract_links(F.col("html")).alias("ext"))
+        )
+        fetched = (
+            fetch0.withColumn("page_bytes", F.length("html").cast("long"))
+            .drop("html")
+            .join(F.broadcast(exts), "body_sha", "inner")
+            .drop("body_sha")
+            .persist()
+        )
+    else:
+        fetched = (
+            fetch0.withColumn("page_bytes", F.length("html").cast("long"))
+            .withColumn("ext", extract_links(F.col("html")))
+            .drop("html")
+            .persist()
+        )
 
     # dead dir links: selected but absent from pages (404 analog). Failed
     # attempts requeue with retry_count+1 until cfg.max_retries (U4).
@@ -382,15 +412,33 @@ def _round_dataflow(
     # -- leaf fetch + text extraction (downloader/extractor analog) ---------
     pages_full = spark.read.parquet(pages_path).select("url", "warc_ts", "html", "lang")
     leaf_pages = pages_full.join(F.broadcast(new_leaves), "url", "inner").persist()
-    results = leaf_pages.select(
+    result_cols = [
         "url",
         "warc_ts",
-        extract_text(F.col("html")).alias("text"),
+        "text",
         "lang",
         "depth",
         F.lit(k).alias("round"),
         F.to_timestamp(F.col("ts_str"), LISTING_TS_SPARK_FORMAT).alias("publish_ts"),
-    )
+    ]
+    if cfg.dedup_content:
+        # leaf_pages is already cached with html; extract once per distinct
+        # body (leaf corpora are where near-mirror duplication concentrates)
+        leaf_keyed = leaf_pages.withColumn("body_sha", F.sha2(F.col("html"), 256))
+        texts = (
+            leaf_keyed.groupBy("body_sha")
+            .agg(F.first("html").alias("html"))
+            .select("body_sha", extract_text(F.col("html")).alias("text"))
+        )
+        results = (
+            leaf_keyed.drop("html")
+            .join(F.broadcast(texts), "body_sha", "inner")
+            .select(*result_cols)
+        )
+    else:
+        results = leaf_pages.withColumn(
+            "text", extract_text(F.col("html"))
+        ).select(*result_cols)
     errors_dead_leaf = (
         new_leaves.join(F.broadcast(leaf_pages.select("url")), "url", "left_anti")
         .select(
@@ -433,7 +481,7 @@ def _round_dataflow(
         else next_frontier.persist()
     )
     next_count = next_frontier.count()
-    persisted = [fetched, failed, leaf_pages, pinned]
+    persisted = [fetched, failed, leaf_pages, pinned] + extra_persists
     if not truncate:  # checkpointed frames free via ContextCleaner on GC
         persisted += [new, next_frontier]
     return _RoundFlow(
