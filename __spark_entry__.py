@@ -1120,6 +1120,38 @@ def q_url_normalize(spark, sf):  # RFC 3986 syntactic normalization (JVM fold)
     return df.select("url", normalize_url(F.col("url")).alias("normalized"))
 
 
+def _dedup_content_fixture() -> list[tuple[str, str]]:
+    # 12 URLs over 4 distinct bodies — the shape --dedup-content collapses
+    bodies = [
+        "<html><body><h1>Alpha</h1>  <p>shared   body</p></body></html>",
+        "<div>Beta <span>text</span>\nwith\tws</div>",
+        "plain no tags",
+        "",
+    ]
+    return [
+        (f"https://h{i % 3}.example.com/p{i}", bodies[i % 4]) for i in range(12)
+    ]
+
+
+def q_dedup_content_extract(spark, sf):  # extract once per DISTINCT body
+    from graven_spark.functions.extract import dedup_body_extract, extract_text
+
+    rows = [(u, b.encode("utf-8")) for u, b in _dedup_content_fixture()]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    keyed = df.withColumn("body_sha", F.sha2(F.col("html"), 256))
+    return dedup_body_extract(keyed, extract_text, "text").select("url", "text")
+
+
+def _dedup_content_sql() -> str:
+    from graven_spark.core import extract_text_py
+
+    vals = ", ".join(
+        f"('{_sq(u)}', '{_sq(extract_text_py(b))}')"
+        for u, b in _dedup_content_fixture()
+    )
+    return f"SELECT url, text FROM (VALUES {vals}) AS t(url, text)"
+
+
 def _url_normalize_sql() -> str:
     from graven_spark.functions.urlnorm import normalize_url_py
 
@@ -1373,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seeds": q_sitemap_seeds,
         "robots_delay_budget": q_robots_delay_budget,
         "url_normalize": q_url_normalize,
+        "dedup_content_extract": q_dedup_content_extract,
     }
 
 
@@ -1694,4 +1727,5 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_seeds": _sitemap_seeds_sql(),
         "robots_delay_budget": _robots_delay_budget_sql(),
         "url_normalize": _url_normalize_sql(),
+        "dedup_content_extract": _dedup_content_sql(),
     }

@@ -62,6 +62,33 @@ LINKS_TYPE = T.StructType(
 )
 
 
+def dedup_body_extract(keyed, udf, out_col, html_col="html", sha_col="body_sha"):
+    """Run an extraction UDF once per DISTINCT page body (``--dedup-content``).
+
+    ``keyed`` must already carry ``sha_col`` (``sha2(html, 256)``). The bodies
+    are grouped on the sha — ``first(html)`` gets a map-side partial combine,
+    so the shuffle carries at most one body per distinct hash per input
+    partition — the UDF runs over that (much smaller) distinct set, and the
+    per-body outputs broadcast-join back to the URL rows. Byte-identical
+    bodies extract to byte-identical results, so outputs are unchanged vs the
+    per-URL path (equivalence-tested in tests/test_dedup_content.py); a
+    Common-Crawl-style corpus is ~25-30% exact-duplicate bodies, which this
+    removes from the Python-side cost. Returns ``keyed`` minus
+    ``html_col``/``sha_col`` plus ``out_col``.
+    """
+    per_body = (
+        keyed.select(sha_col, html_col)
+        .groupBy(sha_col)
+        .agg(F.first(html_col).alias(html_col))
+        .select(sha_col, udf(F.col(html_col)).alias(out_col))
+    )
+    return (
+        keyed.drop(html_col)
+        .join(F.broadcast(per_body), sha_col, "inner")
+        .drop(sha_col)
+    )
+
+
 @F.pandas_udf(LINKS_TYPE)
 def extract_links(html: pd.Series) -> pd.DataFrame:
     """HTML binary → (document-order link structs, parse_failed flag)."""

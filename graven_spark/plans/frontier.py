@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..core import LISTING_TS_SPARK_FORMAT, PRIORITY_STRIDE, SEED_PRIORITY_BASE
 from ..functions.canon import canonicalize, host_of, url_hash
-from ..functions.extract import extract_links, extract_text
+from ..functions.extract import dedup_body_extract, extract_links, extract_text
 from ..operators.bloom import BloomSpec, build_shards, merge_shards
 from ..operators.dedup import BLOOM_BROADCAST_LIMIT, admit_new, first_occurrence
 from ..operators.politeness import DEFAULT_BUDGET, gate_robots, select_round
@@ -314,18 +314,11 @@ def _round_dataflow(
             "body_sha", F.sha2(F.col("html"), 256)
         ).persist()
         extra_persists.append(fetch0)
-        exts = (
-            fetch0.groupBy("body_sha")
-            .agg(F.first("html").alias("html"))
-            .select("body_sha", extract_links(F.col("html")).alias("ext"))
-        )
-        fetched = (
-            fetch0.withColumn("page_bytes", F.length("html").cast("long"))
-            .drop("html")
-            .join(F.broadcast(exts), "body_sha", "inner")
-            .drop("body_sha")
-            .persist()
-        )
+        fetched = dedup_body_extract(
+            fetch0.withColumn("page_bytes", F.length("html").cast("long")),
+            extract_links,
+            "ext",
+        ).persist()
     else:
         fetched = (
             fetch0.withColumn("page_bytes", F.length("html").cast("long"))
@@ -425,15 +418,8 @@ def _round_dataflow(
         # leaf_pages is already cached with html; extract once per distinct
         # body (leaf corpora are where near-mirror duplication concentrates)
         leaf_keyed = leaf_pages.withColumn("body_sha", F.sha2(F.col("html"), 256))
-        texts = (
-            leaf_keyed.groupBy("body_sha")
-            .agg(F.first("html").alias("html"))
-            .select("body_sha", extract_text(F.col("html")).alias("text"))
-        )
-        results = (
-            leaf_keyed.drop("html")
-            .join(F.broadcast(texts), "body_sha", "inner")
-            .select(*result_cols)
+        results = dedup_body_extract(leaf_keyed, extract_text, "text").select(
+            *result_cols
         )
     else:
         results = leaf_pages.withColumn(

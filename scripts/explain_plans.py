@@ -336,6 +336,29 @@ def main() -> None:
         ["Project"],
     ))
 
+    # -- content-dedup extraction: UDF above the per-body aggregate ----------
+    from graven_spark.functions.extract import dedup_body_extract, extract_text
+
+    body_df = spark.range(10000).select(
+        F.concat(F.lit("https://h0.example.com/p"), F.col("id")).alias("url"),
+        F.encode((F.col("id") % 7).cast("string"), "utf-8").alias("html"),
+    ).withColumn("body_sha", F.sha2(F.col("html"), 256))
+    dedup_plan = formatted(dedup_body_extract(body_df, extract_text, "text"))
+    EXTRA_CHECKS.append((
+        "content-dedup extraction: Arrow UDF runs above first(html) per "
+        "body_sha (map-side partial_first keeps the shuffle at one body per "
+        "hash/partition), join-back is a BroadcastHashJoin",
+        "ArrowEval" in dedup_plan
+        and "partial_first" in dedup_plan
+        and "BroadcastHashJoin" in dedup_plan,
+    ))
+    sections.append((
+        "Content-dedup extraction (--dedup-content: one UDF call per "
+        "distinct body, broadcast join back to URLs)",
+        dedup_plan,
+        ["BroadcastHashJoin"],
+    ))
+
     lines = ["# PLANS — physical-plan evidence for the hot paths",
              "",
              "Generated by `python scripts/explain_plans.py`. Each section lists",

@@ -53,7 +53,7 @@ def test_dedup_content_plan_shape(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from graven_spark.functions.extract import extract_links
+    from graven_spark.functions.extract import dedup_body_extract, extract_links
 
     df = spark.range(100).select(
         F.concat(F.lit("u"), F.col("id")).alias("url"),
@@ -62,12 +62,7 @@ def test_dedup_content_plan_shape(spark, tmp_path):
         .alias("html"),
     )
     keyed = df.withColumn("body_sha", F.sha2(F.col("html"), 256))
-    exts = (
-        keyed.groupBy("body_sha")
-        .agg(F.first("html").alias("html"))
-        .select("body_sha", extract_links(F.col("html")).alias("ext"))
-    )
-    joined = keyed.drop("html").join(F.broadcast(exts), "body_sha", "inner")
+    joined = dedup_body_extract(keyed, extract_links, "ext")
     buf = io.StringIO()
     with redirect_stdout(buf):
         joined.explain("formatted")
