@@ -317,6 +317,77 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def measure_dedup_extract(spark, n_pages: int = 60_000, dup_rate: float = 0.3) -> dict:
+    """Quantify --dedup-content at one duplicate rate: extract_text per URL
+    vs once per distinct body (``dedup_body_extract``).
+
+    Deterministic: page i's body is unique for i < n*(1-dup_rate), else one
+    of 64 shared template bodies. Reported OUTSIDE the suite total so wall
+    clocks stay comparable across rounds.
+    """
+    from pyspark.sql import functions as F
+
+    from graven_spark.functions.extract import (
+        dedup_body_extract,
+        extract_links,
+        extract_links_memo,
+    )
+
+    # link-heavy dir-listing bodies: extract_links is the expensive UDF (the
+    # byte-exact reference regex runs a per-document finditer loop; it cannot
+    # vectorize, SURVEY §2.2 P1) — the path --dedup-content exists to thin
+    links = "\n".join(
+        f'<a href="sub{j}/">sub{j}/</a>  <a href="lib-{j}.jar">lib-{j}.jar</a>'
+        f"  2024-01-0{1 + j % 9} 12:3{j % 10}  {j * 137}"
+        for j in range(40)
+    )
+    n_uniq = int(n_pages * (1.0 - dup_rate))
+    body = F.when(
+        F.col("id") < n_uniq,
+        F.concat(F.lit("<html><h1>Index of /u"), F.col("id").cast("string"),
+                 F.lit(f"</h1><pre>{links}</pre></html>")),
+    ).otherwise(
+        F.concat(F.lit("<html><h1>Index of /t"),
+                 (F.col("id") % 64).cast("string"),
+                 F.lit(f"</h1><pre>{links}</pre></html>")),
+    )
+    pages = (
+        spark.range(n_pages)
+        .select(F.concat(F.lit("https://h/p"), F.col("id")).alias("url"),
+                F.encode(body, "utf-8").alias("html"))
+        .localCheckpoint()  # pin the corpus so both paths read identical input
+    )
+    out: dict = {"pages": n_pages, "dup_rate": dup_rate}
+    for tag in ("per_url", "memo", "shuffle_dedup"):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            if tag == "per_url":
+                df = pages.select("url", extract_links(F.col("html")).alias("ext"))
+            elif tag == "memo":
+                df = pages.select(
+                    "url", extract_links_memo(F.col("html")).alias("ext"))
+            else:
+                keyed = pages.withColumn("body_sha", F.sha2(F.col("html"), 256))
+                df = dedup_body_extract(keyed, extract_links, "ext")
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[f"{tag}_sec"] = round(best, 2)
+    out["memo_speedup"] = round(out["per_url_sec"] / out["memo_sec"], 2)
+    out["shuffle_speedup"] = round(out["per_url_sec"] / out["shuffle_dedup_sec"], 2)
+    pages.unpersist()
+    return out
+
+
+def dedup_extract_sweep(spark) -> list[dict]:
+    """--dedup-content is a measured tradeoff, not a free win: sweep the
+    exact-duplicate rate to show the crossover (low duplication → the
+    sha+shuffle overhead loses; mirror-heavy → one UDF call per template
+    body wins)."""
+    return [measure_dedup_extract(spark, dup_rate=r) for r in (0.3, 0.9)]
+
+
 def measure_schedule_subprocess(n_cores: int, wh: str, trials: int) -> dict:
     """Run one level's measurement in a subprocess pinned (taskset) to
     exactly ``n_cores`` CPUs — local[N] alone does NOT model an N-core
@@ -494,6 +565,7 @@ def main() -> None:
         "sf": sf_dir,
         "throughput_urls_per_sec": round(n_new / sched_sec, 1),
         "crawl": crawl_stats,
+        "dedup_extract": dedup_extract_sweep(spark),
         "burn_provenance": burn_prov,
     }))
     spark.stop()

@@ -158,10 +158,11 @@ def main(argv: list[str] | None = None) -> int:
                             "a per-round budget max(1, floor(SECONDS/d)); "
                             "hosts without Crawl-delay keep --budget")
         c.add_argument("--dedup-content", action="store_true",
-                       help="run the Arrow extraction UDFs once per DISTINCT "
-                            "page body (grouped on sha2(html)) instead of "
-                            "once per URL; outputs are unchanged — "
-                            "byte-identical bodies extract identically")
+                       help="extract once per DISTINCT page body within each "
+                            "Arrow batch (batch-local memoization, zero "
+                            "shuffle) instead of once per URL; outputs are "
+                            "unchanged — byte-identical bodies extract "
+                            "identically")
         c.add_argument("--normalize-urls", action="store_true",
                        help="apply RFC 3986 syntactic normalization "
                             "(lowercase scheme/host, default-port strip, "

@@ -32,15 +32,45 @@ _TAG_PATTERN = r"<[^>]*>"
 _WS_PATTERN = r"\s+"
 
 
-@F.pandas_udf(T.StringType())
-def extract_text(html: pd.Series) -> pd.Series:
-    """HTML binary → extracted text (golden-byte-identical invariant)."""
+def _text_kernel(html: pd.Series) -> pd.Series:
     return (
         html.map(lambda b: b.decode("utf-8", errors="replace"), na_action="ignore")
         .str.replace(_TAG_PATTERN, " ", regex=True)
         .str.replace(_WS_PATTERN, " ", regex=True)
         .str.strip()
     )
+
+
+def _memoized(kernel):
+    """Batch-local content dedup: run ``kernel`` once per DISTINCT body
+    within each Arrow batch, then fan results back to rows.
+
+    Zero-shuffle complement to :func:`dedup_body_extract` — template
+    duplicates (dir listings, mirror pages) recur within every batch, so
+    local memoization captures most of the win of the global groupBy plan
+    without moving a byte between executors. Byte-identical bodies produce
+    byte-identical outputs, so results are unchanged.
+    """
+
+    def wrapped(html: pd.Series):
+        uniq = html.drop_duplicates()
+        out_u = kernel(uniq)
+        take = html.map({b: i for i, b in enumerate(uniq)}).to_numpy()
+        return out_u.iloc[take].reset_index(drop=True)
+
+    return wrapped
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """HTML binary → extracted text (golden-byte-identical invariant)."""
+    return _text_kernel(html)
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_memo(html: pd.Series) -> pd.Series:
+    """`extract_text` with batch-local content dedup (``--dedup-content``)."""
+    return _memoized(_text_kernel)(html)
 
 
 LINKS_TYPE = T.StructType(
@@ -69,11 +99,20 @@ def dedup_body_extract(keyed, udf, out_col, html_col="html", sha_col="body_sha")
     are grouped on the sha — ``first(html)`` gets a map-side partial combine,
     so the shuffle carries at most one body per distinct hash per input
     partition — the UDF runs over that (much smaller) distinct set, and the
-    per-body outputs broadcast-join back to the URL rows. Byte-identical
+    per-body outputs join back to the URL rows on the sha. Byte-identical
     bodies extract to byte-identical results, so outputs are unchanged vs the
-    per-URL path (equivalence-tested in tests/test_dedup_content.py); a
-    Common-Crawl-style corpus is ~25-30% exact-duplicate bodies, which this
-    removes from the Python-side cost. Returns ``keyed`` minus
+    per-URL path (equivalence-tested in tests/test_dedup_content.py).
+
+    The join-back carries NO broadcast hint on purpose: the distinct-body set
+    is unbounded (a low-duplication corpus leaves it nearly the full input),
+    so forcing a broadcast is a driver/executor-memory hazard at scale — and
+    measurably slower even at 60k pages (bench `dedup_extract` micro). With
+    AQE on (session default) Catalyst converts the post-shuffle join to a
+    broadcast at runtime exactly when the distinct side turns out small
+    (mirror-heavy corpora), which is the only case the hint would have been
+    right. Worth enabling when duplication is high or per-body extraction is
+    expensive; at ~30% duplication the sha+shuffle overhead exceeds the
+    saved UDF time (same micro). Returns ``keyed`` minus
     ``html_col``/``sha_col`` plus ``out_col``.
     """
     per_body = (
@@ -84,15 +123,12 @@ def dedup_body_extract(keyed, udf, out_col, html_col="html", sha_col="body_sha")
     )
     return (
         keyed.drop(html_col)
-        .join(F.broadcast(per_body), sha_col, "inner")
+        .join(per_body, sha_col, "inner")
         .drop(sha_col)
     )
 
 
-@F.pandas_udf(LINKS_TYPE)
-def extract_links(html: pd.Series) -> pd.DataFrame:
-    """HTML binary → (document-order link structs, parse_failed flag)."""
-
+def _links_kernel(html: pd.Series) -> pd.DataFrame:
     def one(b: bytes | None) -> tuple[list[tuple[str, bool, str | None]], bool]:
         if b is None:
             return [], False
@@ -103,3 +139,15 @@ def extract_links(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {"links": parsed.map(lambda t: t[0]), "parse_failed": parsed.map(lambda t: t[1])}
     )
+
+
+@F.pandas_udf(LINKS_TYPE)
+def extract_links(html: pd.Series) -> pd.DataFrame:
+    """HTML binary → (document-order link structs, parse_failed flag)."""
+    return _links_kernel(html)
+
+
+@F.pandas_udf(LINKS_TYPE)
+def extract_links_memo(html: pd.Series) -> pd.DataFrame:
+    """`extract_links` with batch-local content dedup (``--dedup-content``)."""
+    return _memoized(_links_kernel)(html)

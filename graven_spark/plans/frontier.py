@@ -47,7 +47,12 @@ from pyspark.sql import functions as F
 
 from ..core import LISTING_TS_SPARK_FORMAT, PRIORITY_STRIDE, SEED_PRIORITY_BASE
 from ..functions.canon import canonicalize, host_of, url_hash
-from ..functions.extract import dedup_body_extract, extract_links, extract_text
+from ..functions.extract import (
+    extract_links,
+    extract_links_memo,
+    extract_text,
+    extract_text_memo,
+)
 from ..operators.bloom import BloomSpec, build_shards, merge_shards
 from ..operators.dedup import BLOOM_BROADCAST_LIMIT, admit_new, first_occurrence
 from ..operators.politeness import DEFAULT_BUDGET, gate_robots, select_round
@@ -86,12 +91,15 @@ class CrawlConfig:
     # parity requires the raw strings.
     normalize_urls: bool = False
     # Run the Arrow extraction UDFs once per DISTINCT page body instead of
-    # once per URL: bodies are grouped on sha2(html) (map-side partial
-    # first(html), so the shuffle carries one body per distinct hash per
-    # partition), extracted, and broadcast-joined back. Byte-identical
-    # bodies extract to byte-identical results, so outputs are unchanged
-    # (equivalence-tested); a Common-Crawl-style corpus has ~25-30% exact
-    # duplicate bodies, which this removes from the Python-side cost.
+    # once per URL, via batch-local memoization inside the UDF (the
+    # `_memo` twins in functions/extract.py): each Arrow batch dedups its
+    # bodies in-process, so the win costs zero shuffle and the plan is
+    # unchanged. Byte-identical bodies extract to byte-identical results,
+    # so outputs are unchanged (equivalence-tested). The global
+    # groupBy(body_sha) alternative (functions/extract.dedup_body_extract)
+    # measured slower at every duplicate rate — its sha+shuffle overhead
+    # exceeds the saved UDF time (bench `dedup_extract` micro) — and is
+    # kept only as the documented/oracled variant.
     dedup_content: bool = False
     seen_buckets: int = SEEN_BUCKETS_DEFAULT
     bloom_broadcast_limit: int = BLOOM_BROADCAST_LIMIT
@@ -303,29 +311,19 @@ def _round_dataflow(
         n_selected = cfg.jar_limit
 
     # -- fetch join (J2): huge pages scan ⋈ broadcast round set -------------
+    # --dedup-content swaps in the batch-memoized UDF twins: same plan, same
+    # outputs, each Arrow batch extracts once per distinct body (zero-shuffle;
+    # the global groupBy(body_sha) variant, dedup_body_extract, measured
+    # slower at every duplicate rate — bench `dedup_extract` micro).
+    x_links = extract_links_memo if cfg.dedup_content else extract_links
     pages = spark.read.parquet(pages_path).select("url", "html")
-    fetch0 = pages.join(F.broadcast(ranked), "url", "inner")
-    extra_persists: list = []
-    if cfg.dedup_content:
-        # one pages scan: fetch0 (with html) is the round's fetch set and
-        # is cached; the distinct-body extraction and the join-back both
-        # derive from the cache
-        fetch0 = fetch0.withColumn(
-            "body_sha", F.sha2(F.col("html"), 256)
-        ).persist()
-        extra_persists.append(fetch0)
-        fetched = dedup_body_extract(
-            fetch0.withColumn("page_bytes", F.length("html").cast("long")),
-            extract_links,
-            "ext",
-        ).persist()
-    else:
-        fetched = (
-            fetch0.withColumn("page_bytes", F.length("html").cast("long"))
-            .withColumn("ext", extract_links(F.col("html")))
-            .drop("html")
-            .persist()
-        )
+    fetched = (
+        pages.join(F.broadcast(ranked), "url", "inner")
+        .withColumn("page_bytes", F.length("html").cast("long"))
+        .withColumn("ext", x_links(F.col("html")))
+        .drop("html")
+        .persist()
+    )
 
     # dead dir links: selected but absent from pages (404 analog). Failed
     # attempts requeue with retry_count+1 until cfg.max_retries (U4).
@@ -414,17 +412,12 @@ def _round_dataflow(
         F.lit(k).alias("round"),
         F.to_timestamp(F.col("ts_str"), LISTING_TS_SPARK_FORMAT).alias("publish_ts"),
     ]
-    if cfg.dedup_content:
-        # leaf_pages is already cached with html; extract once per distinct
-        # body (leaf corpora are where near-mirror duplication concentrates)
-        leaf_keyed = leaf_pages.withColumn("body_sha", F.sha2(F.col("html"), 256))
-        results = dedup_body_extract(leaf_keyed, extract_text, "text").select(
-            *result_cols
-        )
-    else:
-        results = leaf_pages.withColumn(
-            "text", extract_text(F.col("html"))
-        ).select(*result_cols)
+    # --dedup-content: batch-memoized twin (leaf corpora are where
+    # near-mirror duplication concentrates; same outputs, zero shuffle)
+    x_text = extract_text_memo if cfg.dedup_content else extract_text
+    results = leaf_pages.withColumn(
+        "text", x_text(F.col("html"))
+    ).select(*result_cols)
     errors_dead_leaf = (
         new_leaves.join(F.broadcast(leaf_pages.select("url")), "url", "left_anti")
         .select(
@@ -467,7 +460,7 @@ def _round_dataflow(
         else next_frontier.persist()
     )
     next_count = next_frontier.count()
-    persisted = [fetched, failed, leaf_pages, pinned] + extra_persists
+    persisted = [fetched, failed, leaf_pages, pinned]
     if not truncate:  # checkpointed frames free via ContextCleaner on GC
         persisted += [new, next_frontier]
     return _RoundFlow(

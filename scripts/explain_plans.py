@@ -347,16 +347,17 @@ def main() -> None:
     EXTRA_CHECKS.append((
         "content-dedup extraction: Arrow UDF runs above first(html) per "
         "body_sha (map-side partial_first keeps the shuffle at one body per "
-        "hash/partition), join-back is a BroadcastHashJoin",
+        "hash/partition); join-back keys on body_sha with NO forced "
+        "broadcast (distinct side unbounded — AQE broadcasts iff small)",
         "ArrowEval" in dedup_plan
         and "partial_first" in dedup_plan
-        and "BroadcastHashJoin" in dedup_plan,
+        and "body_sha" in dedup_plan,
     ))
     sections.append((
         "Content-dedup extraction (--dedup-content: one UDF call per "
-        "distinct body, broadcast join back to URLs)",
+        "distinct body, join back to URLs on body_sha)",
         dedup_plan,
-        ["BroadcastHashJoin"],
+        ["partial_first"],
     ))
 
     lines = ["# PLANS — physical-plan evidence for the hot paths",
