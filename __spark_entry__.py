@@ -437,6 +437,22 @@ def q_embed_ann_lsh(spark, sf):
     )
 
 
+def q_dedup_embed_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (the embedding member of the dedup
+    family): SRP-bucketed self-join + JVM-side cosine, threshold on the
+    rounded value. The synthetic corpus is near-orthogonal (max pairwise
+    cosine ≈ 0.51), so the demo threshold is 0.3; production near-dup runs
+    the same plan at ~0.9 where real duplicate clusters live."""
+    e = _t(spark, sf, "embeddings")
+    dim = len(_query_vec(spark, sf))
+    return simsearch.embed_near_dup(e, threshold=0.3, dim=dim, n_planes=6)
+
+
+def q_dedup_embed_drop(spark, sf):
+    """Keep-lowest-id verdict over the near-dup pairs: ids to drop."""
+    return simsearch.near_dup_drop_ids(q_dedup_embed_cosine(spark, sf))
+
+
 _SRP_IDX: dict[str, str] = {}
 
 
@@ -1381,6 +1397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_multiprobe": q_embed_ann_multiprobe,
+        "dedup_embed_cosine": q_dedup_embed_cosine,
+        "dedup_embed_drop": q_dedup_embed_drop,
         "duration_format": q_duration_format,
         "flatten_grype": q_flatten_grype,
         "nvd_lookup": q_nvd_lookup,
@@ -1492,6 +1510,37 @@ def _ann_sql(multiprobe: bool = False) -> str:
         "CAST(qv AS DOUBLE[])), 4) AS cos_sim FROM cand "
         "ORDER BY cos_sim DESC, vec_id LIMIT 10"
     )
+
+
+def _near_dup_sql(drop: bool = False) -> str:
+    """DuckDB twin of simsearch.embed_near_dup at n_planes=6 / tau=0.3:
+    identical md5-derived hyperplanes, identical bucket-equality candidate
+    rule, threshold applied to the same round-4 cosine."""
+    n_planes = 6
+    dim = 64
+
+    def bucket_expr(vec: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            plane = simsearch._hyperplane(dim, p)
+            arr = "[" + ", ".join(str(x) for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(CAST({vec} AS DOUBLE[]), {arr}) >= 0 "
+                f"THEN {1 << p} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    pairs = (
+        f"WITH b AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bkt "
+        "FROM embeddings) "
+        "SELECT a.vec_id AS id_a, c.vec_id AS id_b, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim "
+        "FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id"
+    )
+    if drop:
+        return f"SELECT DISTINCT id_b AS drop_id FROM ({pairs}) WHERE cos_sim >= 0.3"
+    return f"SELECT * FROM ({pairs}) WHERE cos_sim >= 0.3"
 
 
 _STOP_IN = ", ".join(f"'{w}'" for w in _EN)
@@ -1660,6 +1709,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embed_ann_lsh": _ann_sql(),
         "embed_ann_multiprobe": _ann_sql(multiprobe=True),
+        "dedup_embed_cosine": _near_dup_sql(),
+        "dedup_embed_drop": _near_dup_sql(drop=True),
         "duration_format": (
             "SELECT event_id, printf('%02d:%02d:%02d', "
             "(event_id * 37 % 100000) // 3600, "

@@ -115,6 +115,70 @@ def _query_bucket(query_vec: list[float], n_planes: int) -> int:
     return acc
 
 
+# -- embedding-cosine near-duplicate detection ---------------------------------
+
+def embed_near_dup(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, SRP-bucketed — the embedding
+    member of the dedup family (exact / n-gram Jaccard / MinHash-LSH /
+    SimHash live in operators/textops.py).
+
+    Candidate generation is a self-join keyed on the vector's
+    sign-random-projection bucket (``srp_bucket``), so only vectors whose
+    sign pattern agrees on all ``n_planes`` hyperplanes are ever compared —
+    never all-pairs. Cosine is computed JVM-side (``zip_with`` dot +
+    ``aggregate`` norms, no UDF), rounded to 4 places, and thresholded on
+    the rounded value so the result is engine-portable. Pairs are emitted
+    once with ``id_a < id_b``.
+
+    Scale: candidates are ~N²/2^n_planes per bucket on sign-balanced data;
+    raise ``n_planes`` to tighten buckets as N grows (recall follows the
+    standard SRP collision curve (1 - θ/π)^n_planes). The bucket join is a
+    hash shuffle on the bucket id; a pathological bucket (many co-directional
+    vectors — exactly the near-dup clusters we want) is a skew key, which AQE
+    skew-join splitting handles (session default). Like MinHash-LSH banding
+    this trades recall for never materializing the cross join; pairs whose
+    sign pattern differs on any plane are not compared.
+    """
+    bucketed = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        srp_bucket(F.col(vec_col), dim, n_planes).alias("_bkt"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def near_dup_drop_ids(pairs: DataFrame) -> DataFrame:
+    """Keep-lowest-id dedup verdict from a near-dup pair list: every id that
+    appears as the GREATER member of any pair is dropped (its lower-id twin
+    survives), so each surviving id has no above-threshold near-dup with a
+    smaller id. This is the standard one-pass greedy (NOT connected
+    components: two vectors that are each near a third but not near each
+    other both survive, which is the right call for near-dup semantics —
+    no iteration, one distinct)."""
+    return pairs.select(F.col("id_b").alias("drop_id")).distinct()
+
+
 # -- persisted SRP index (the 100-TB path) ------------------------------------
 
 def write_srp_index(

@@ -52,3 +52,34 @@ def test_brute_force_superset_of_lsh(spark, vecs):
     lsh = {r.vec_id: r.cos_sim for r in simsearch.lsh_bucketed_topk(vecs, q, k=5, n_planes=2).collect()}
     for vid, sim in lsh.items():
         assert brute[vid] == sim  # same scores for what both retrieve
+
+
+def test_embed_near_dup_pairs_and_drop(spark):
+    """Planted near-dups are found once (id_a < id_b) with the right cosine;
+    far pairs and cross-bucket pairs are absent; drop list keeps lowest id."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.998, 0.02, 0.0, 0.0]),   # near-dup of 0 and 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal: below threshold
+        (4, [-1.0, 0.0, 0.0, 0.0]),     # opposite: different SRP bucket
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = simsearch.embed_near_dup(vecs, threshold=0.9, dim=4, n_planes=2)
+    got = {(r.id_a, r.id_b): r.cos_sim for r in pairs.collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert all(r[0] < r[1] for r in got)
+    assert got[(0, 1)] > 0.999
+    drops = {r.drop_id for r in simsearch.near_dup_drop_ids(pairs).collect()}
+    assert drops == {1, 2}  # 0 survives as the lowest id of its cluster
+
+
+def test_embed_near_dup_never_crosses_buckets(spark):
+    """Identical vectors in DIFFERENT SRP buckets are never compared — the
+    bucket key bounds the candidate set (recall/cost tradeoff by design)."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # cosine(0,1) = -1 < any threshold anyway; use threshold=-2 so ONLY the
+    # bucket rule can exclude the pair
+    pairs = simsearch.embed_near_dup(vecs, threshold=-2.0, dim=4, n_planes=2)
+    assert pairs.count() == 0
