@@ -437,6 +437,16 @@ def q_embed_ann_lsh(spark, sf):
     )
 
 
+def q_corpus_prepare(spark, sf):
+    """Composed LLM-corpus prep (operators/textops.corpus_prepare): exact
+    dedup → lang gate → quality gate → embedding near-dup drop → token
+    counts, one declarative plan over documents ⋈ embeddings."""
+    d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "embeddings")
+    dim = len(_query_vec(spark, sf))
+    return textops.corpus_prepare(d, e, dim=dim, n_planes=6)
+
+
 def q_dedup_embed_cosine(spark, sf):
     """Embedding-cosine near-dup pairs (the embedding member of the dedup
     family): SRP-bucketed self-join + JVM-side cosine, threshold on the
@@ -1180,6 +1190,93 @@ def _url_normalize_sql() -> str:
     )
 
 
+def _warc_fixture_records():
+    from graven_spark.sources import warc as W
+
+    b1 = b'<html><h1>Index of /r</h1><a href="a.jar">a.jar</a></html>'
+    b2 = b"<html>mirror body</html>" * 40
+    return [
+        [  # segment 0 (.warc.gz, per-record members)
+            W.build_warc_record("warcinfo", b"software: fixture\r\n"),
+            W.build_warc_record(
+                "response", W.http_response_block(b1),
+                uri="https://w0.example.com/r/", date="2024-03-01T10:00:00Z",
+            ),
+            W.build_warc_record(
+                "request", b"GET /r/ HTTP/1.1\r\n\r\n",
+                uri="https://w0.example.com/r/",
+            ),
+            W.build_warc_record(
+                "response", W.http_response_block(b"nope", 404),
+                uri="https://w0.example.com/missing",
+            ),
+        ],
+        [  # segment 1 (plain .warc)
+            W.build_warc_record(
+                "response",
+                W.http_response_block(b2, 200, "text/html; charset=utf-8"),
+                uri="https://w1.example.com/p",
+                date="2024-03-01T10:00:01.250000Z",
+            ),
+        ],
+    ]
+
+
+_WARC_FIX: list[str] = []
+
+
+def _warc_fixture_dir() -> str:
+    """Materialize the deterministic two-segment fixture once per process
+    (one Common-Crawl-layout .warc.gz, one plain .warc)."""
+    from graven_spark.sources import warc as W
+
+    if not _WARC_FIX:
+        d = tempfile.mkdtemp(prefix="graven_warc_fix_")
+        segs = _warc_fixture_records()
+        with open(os.path.join(d, "seg-00000.warc.gz"), "wb") as f:
+            f.write(W.build_warc(segs[0], gzip_members=True))
+        with open(os.path.join(d, "seg-00001.warc"), "wb") as f:
+            f.write(W.build_warc(segs[1]))
+        _WARC_FIX.append(d)
+    return _WARC_FIX[0]
+
+
+def q_warc_ingest(spark, sf):
+    """WARC (ISO 28500) segment ingestion — the Common-Crawl-native pages
+    source (sources/warc.py): streaming record parse in mapInPandas, one
+    task per segment, response-2xx rows become pages. Hash-compared via
+    sha2(html) since the oracle is a VALUES twin from the pure parser."""
+    from graven_spark.sources import warc as W
+
+    pages = W.pages_from_warc(spark, os.path.join(_warc_fixture_dir(), "seg-*"))
+    return pages.select(
+        "url", "warc_ts", "http_status", "mime",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.lower(F.sha2("html", 256)).alias("body_sha"),
+    )
+
+
+def _warc_ingest_sql() -> str:
+    import hashlib
+
+    from graven_spark.sources import warc as W
+
+    rows = []
+    for seg in _warc_fixture_records():
+        for r in W.parse_warc(W.build_warc(seg)):
+            ts = r["warc_ts"].isoformat(sep=" ")
+            rows.append(
+                f"('{_sq(r['url'])}', TIMESTAMP '{ts}', {r['http_status']}, "
+                f"'{_sq(r['mime'])}', {len(r['html'])}, "
+                f"'{hashlib.sha256(r['html']).hexdigest()}')"
+            )
+    vals = ", ".join(rows)
+    return (
+        "SELECT * FROM (VALUES "
+        f"{vals}) AS t(url, warc_ts, http_status, mime, n_bytes, body_sha)"
+    )
+
+
 def q_run_pipeline_stages(spark, sf):  # per-worker-stage lineage rollup
     from graven_spark.plans.pipeline import stage_lineage_from
 
@@ -1398,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_multiprobe": q_embed_ann_multiprobe,
         "dedup_embed_cosine": q_dedup_embed_cosine,
+        "corpus_prepare": q_corpus_prepare,
         "dedup_embed_drop": q_dedup_embed_drop,
         "duration_format": q_duration_format,
         "flatten_grype": q_flatten_grype,
@@ -1423,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seeds": q_sitemap_seeds,
         "robots_delay_budget": q_robots_delay_budget,
         "url_normalize": q_url_normalize,
+        "warc_ingest": q_warc_ingest,
         "dedup_content_extract": q_dedup_content_extract,
     }
 
@@ -1541,6 +1640,37 @@ def _near_dup_sql(drop: bool = False) -> str:
     if drop:
         return f"SELECT DISTINCT id_b AS drop_id FROM ({pairs}) WHERE cos_sim >= 0.3"
     return f"SELECT * FROM ({pairs}) WHERE cos_sim >= 0.3"
+
+
+def _corpus_prepare_sql() -> str:
+    """Composition of the already-oracled stage twins: exact-dedup canon set,
+    stopword-ratio lang gate, quality gate, near-dup drop list, token
+    counts — mirroring textops.corpus_prepare stage for stage."""
+    ratio = (
+        "round(CAST(len(list_filter(string_split(text,' '), "
+        f"w -> w IN ({_STOP_IN}))) AS DOUBLE) "
+        "/ greatest(len(string_split(text,' ')), 1), 6)"
+    )
+    quality = (
+        "round(least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * "
+        "(1 - round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) "
+        "/ greatest(length(text), 1), 6)), 6)"
+    )
+    return (
+        "WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
+        f"lang_ok AS (SELECT doc_id FROM documents WHERE {ratio} >= 0.05), "
+        f"qual_ok AS (SELECT doc_id, {quality} AS quality FROM documents "
+        f"WHERE {quality} >= 0.2), "
+        f"drops AS ({_near_dup_sql(drop=True)}) "
+        "SELECT d.doc_id, q.quality, "
+        "CAST(len(string_split(d.text,' ')) AS BIGINT) AS ws_tokens, "
+        "CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS re_tokens "
+        "FROM documents d "
+        "JOIN qual_ok q ON q.doc_id = d.doc_id "
+        "WHERE d.doc_id IN (SELECT doc_id FROM canon) "
+        "AND d.doc_id IN (SELECT doc_id FROM lang_ok) "
+        "AND d.doc_id NOT IN (SELECT drop_id FROM drops)"
+    )
 
 
 _STOP_IN = ", ".join(f"'{w}'" for w in _EN)
@@ -1710,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_ann_lsh": _ann_sql(),
         "embed_ann_multiprobe": _ann_sql(multiprobe=True),
         "dedup_embed_cosine": _near_dup_sql(),
+        "corpus_prepare": _corpus_prepare_sql(),
         "dedup_embed_drop": _near_dup_sql(drop=True),
         "duration_format": (
             "SELECT event_id, printf('%02d:%02d:%02d', "
@@ -1778,5 +1909,6 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_seeds": _sitemap_seeds_sql(),
         "robots_delay_budget": _robots_delay_budget_sql(),
         "url_normalize": _url_normalize_sql(),
+        "warc_ingest": _warc_ingest_sql(),
         "dedup_content_extract": _dedup_content_sql(),
     }

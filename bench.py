@@ -388,6 +388,55 @@ def dedup_extract_sweep(spark) -> list[dict]:
     return [measure_dedup_extract(spark, dup_rate=r) for r in (0.3, 0.9)]
 
 
+def measure_warc_ingest(
+    spark, n_segments: int = 8, pages_per_segment: int = 2000
+) -> dict:
+    """WARC segment-ingest throughput (sources/warc.py): synthesize
+    Common-Crawl-layout .warc.gz segments (per-record gzip members), parse
+    with one mapInPandas task per segment, report pages/s and compressed
+    MB/s. Reported OUTSIDE the suite total."""
+    import shutil
+    import tempfile
+
+    from graven_spark.sources import warc as W
+
+    d = tempfile.mkdtemp(prefix="bench_warc_")
+    total_bytes = 0
+    filler = "lorem ipsum " * 40
+    for s in range(n_segments):
+        recs = []
+        for i in range(pages_per_segment):
+            body = (
+                f"<html><h1>Doc {s}/{i}</h1><p>{filler}{i * 137}</p>"
+                f'<a href="n{i}/">n{i}/</a></html>'
+            ).encode()
+            recs.append(W.build_warc_record(
+                "response", W.http_response_block(body),
+                uri=f"https://seg{s}.example.com/p{i}",
+            ))
+        data = W.build_warc(recs, gzip_members=True)
+        total_bytes += len(data)
+        with open(os.path.join(d, f"seg-{s:05d}.warc.gz"), "wb") as f:
+            f.write(data)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        W.pages_from_warc(spark, os.path.join(d, "seg-*")) \
+            .write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    shutil.rmtree(d, ignore_errors=True)
+    n = n_segments * pages_per_segment
+    return {
+        "segments": n_segments,
+        "pages": n,
+        "gz_mb": round(total_bytes / 1e6, 2),
+        "sec": round(best, 2),
+        "pages_per_sec": round(n / best, 1),
+        "gz_mb_per_sec": round(total_bytes / 1e6 / best, 2),
+    }
+
+
 def measure_schedule_subprocess(n_cores: int, wh: str, trials: int) -> dict:
     """Run one level's measurement in a subprocess pinned (taskset) to
     exactly ``n_cores`` CPUs — local[N] alone does NOT model an N-core
@@ -566,6 +615,7 @@ def main() -> None:
         "throughput_urls_per_sec": round(n_new / sched_sec, 1),
         "crawl": crawl_stats,
         "dedup_extract": dedup_extract_sweep(spark),
+        "warc_ingest": measure_warc_ingest(spark),
         "burn_provenance": burn_prov,
     }))
     spark.stop()

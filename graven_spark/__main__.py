@@ -294,6 +294,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="refresh the per-host allowance every event-time "
                          "tumbling window (default: lifetime budget)")
 
+    ing = sub.add_parser(
+        "ingest",
+        help="WARC segments -> pages parquet (Common-Crawl-style bootstrap; "
+             "not in the reference - its input is a live scrape loop, "
+             "crawler.py:62-96)",
+    )
+    ing.add_argument("--warc", required=True,
+                     help="segment path glob (.warc or .warc.gz; per-record "
+                          "gzip members as Common Crawl publishes them)")
+    ing.add_argument("--out", required=True, help="pages parquet output dir")
+    ing.add_argument("--status-min", type=int, default=200)
+    ing.add_argument("--status-max", type=int, default=299)
+
     e = sub.add_parser(
         "export",
         help="export crawl results, or the sbom blob table as a "
@@ -336,6 +349,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"updated {counts} found={n_found} "
               f"elapsed={format_hms_py(time.time() - t0)}")
+        return 0
+
+    if args.cmd == "ingest":
+        from .sources.warc import pages_from_warc
+
+        pages = pages_from_warc(
+            spark, args.warc,
+            min_status=args.status_min, max_status=args.status_max,
+        )
+        pages.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"ingested {n} pages elapsed={format_hms_py(time.time() - t0)}")
         return 0
 
     if args.cmd == "stream":

@@ -238,3 +238,50 @@ def fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
             f"i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 8), 16, 10) as bigint)))"
         ).alias("fp"),
     )
+
+
+# -- composed corpus preparation ----------------------------------------------
+
+def corpus_prepare(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    dim: int,
+    min_quality: float = 0.2,
+    lang: str = "en",
+    near_dup_threshold: float = 0.3,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Training-corpus preparation as ONE declarative plan: exact dedup
+    (keep-lowest doc_id) → language gate → quality gate → embedding-cosine
+    near-dup drop (``embeddings.vec_id`` aligned with ``doc_id``) → token
+    counts. Output: (doc_id, quality, ws_tokens, re_tokens) for the
+    surviving corpus.
+
+    This is the composition story for the LLM-data ops: every stage is the
+    already-oracled operator, chained as doc_id-keyed semi/anti/inner joins
+    so Catalyst plans the whole prep as one job — shared scans of
+    ``documents``, hash joins on doc_id, the near-dup side an SRP-bucketed
+    pair list (never all-pairs), zero driver collection. At 100 TB each
+    gate prunes before the next join; the anti-join's right side (drop ids)
+    is duplicates-only, typically a small fraction, so AQE broadcasts it.
+    """
+    from .simsearch import embed_near_dup, near_dup_drop_ids
+
+    canon = exact_dedup(documents).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    lang_ok = lang_id(documents).filter(F.col("lang_pred") == lang).select("doc_id")
+    qual_ok = quality_score(documents).filter(
+        F.col("quality") >= min_quality
+    ).select("doc_id", "quality")
+    drops = near_dup_drop_ids(
+        embed_near_dup(embeddings, near_dup_threshold, dim, n_planes)
+    ).withColumnRenamed("drop_id", "doc_id")
+    return (
+        documents.select("doc_id")
+        .join(canon, "doc_id", "semi")
+        .join(lang_ok, "doc_id", "semi")
+        .join(drops, "doc_id", "anti")
+        .join(qual_ok, "doc_id", "inner")
+        .join(token_count(documents), "doc_id", "inner")
+    )

@@ -360,6 +360,37 @@ def main() -> None:
         ["partial_first"],
     ))
 
+    # -- composed corpus prep: one plan, no cartesian, bucketed near-dup ----
+    from graven_spark.operators.textops import corpus_prepare
+
+    docs_df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the quick text number "), F.col("id").cast("string"))
+        .alias("text"),
+    )
+    emb_df = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 17).cast("float") / 17.0
+                  for i in range(8)]).alias("embedding"),
+    )
+    corpus_plan = formatted(corpus_prepare(docs_df, emb_df, dim=8, n_planes=4))
+    EXTRA_CHECKS.append((
+        "corpus_prepare composition: zero CartesianProduct/BroadcastNestedLoop "
+        "(the near-dup candidate join is keyed on the SRP bucket), exact-dedup "
+        "partial min is map-side, zero Python eval nodes (every gate is JVM)",
+        "CartesianProduct" not in corpus_plan
+        and "BroadcastNestedLoop" not in corpus_plan
+        and "partial_min" in corpus_plan
+        and "ArrowEval" not in corpus_plan
+        and "BatchEvalPython" not in corpus_plan,
+    ))
+    sections.append((
+        "Composed corpus prep (exact dedup → lang/quality gates → "
+        "embedding near-dup drop → token counts, one plan)",
+        corpus_plan,
+        ["partial_min"],
+    ))
+
     lines = ["# PLANS — physical-plan evidence for the hot paths",
              "",
              "Generated by `python scripts/explain_plans.py`. Each section lists",

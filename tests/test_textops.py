@@ -73,3 +73,25 @@ def test_fingerprint_deterministic_and_dup_invariant(spark, docs):
     fp = {r.doc_id: r.fp for r in textops.fingerprint(docs).collect()}
     assert fp[0] == fp[2]
     assert fp[0] != fp[3]
+
+
+def test_corpus_prepare_composed_gates(spark, docs):
+    """Each gate prunes: exact dup (doc 2 folds into 0), non-en (doc 4 —
+    no stopwords), embedding near-dup (doc 1 dropped, its lower twin 0
+    kept); docs 0 and 3 survive with token counts."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0 -> dropped
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.doc_id: r for r in textops.corpus_prepare(
+        docs, emb, dim=4, min_quality=0.0, near_dup_threshold=0.9, n_planes=2
+    ).collect()}
+    assert set(out) == {0, 3}
+    assert out[0].ws_tokens == 9 and out[0].quality > 0
+    assert out[3].ws_tokens == 8
