@@ -388,6 +388,48 @@ def dedup_extract_sweep(spark) -> list[dict]:
     return [measure_dedup_extract(spark, dup_rate=r) for r in (0.3, 0.9)]
 
 
+def measure_host_skew(
+    spark, n_rows: int = 400_000, budget: int = 50
+) -> dict:
+    """Quantify the salted politeness prune under pathological host skew:
+    HALF the frontier is one mega-host (the shape a viral domain produces at
+    10^10 URLs). n_salts=1 degenerates to a single-task per-host sort;
+    n_salts=8 spreads the hot host over 8 window partitions before the exact
+    per-host k-th selection. Same results either way (equivalence is tested
+    in tests/test_operators.py); this measures only the wall difference.
+    Reported OUTSIDE the suite total."""
+    from pyspark.sql import functions as F
+
+    from graven_spark.operators.politeness import select_round
+
+    half = n_rows // 2
+    frontier = (
+        spark.range(n_rows)
+        .select(
+            F.when(F.col("id") < half, F.lit("mega.example.com"))
+            .otherwise(F.concat(F.lit("h"), (F.col("id") % 2000).cast("string"),
+                                F.lit(".example.com")))
+            .alias("host"),
+            F.concat(F.lit("https://x/p"), F.col("id")).alias("url"),
+            F.xxhash64(F.col("id").cast("string")).alias("priority"),
+        )
+        .localCheckpoint()  # pin: both configs read identical input
+    )
+    out: dict = {"rows": n_rows, "mega_share": 0.5, "budget": budget}
+    for n_salts in (1, 8):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            select_round(frontier, None, budget, n_salts) \
+                .write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[f"salts{n_salts}_sec"] = round(best, 2)
+    out["salt_speedup"] = round(out["salts1_sec"] / out["salts8_sec"], 2)
+    frontier.unpersist()
+    return out
+
+
 def measure_warc_ingest(
     spark, n_segments: int = 8, pages_per_segment: int = 2000
 ) -> dict:
@@ -616,6 +658,7 @@ def main() -> None:
         "crawl": crawl_stats,
         "dedup_extract": dedup_extract_sweep(spark),
         "warc_ingest": measure_warc_ingest(spark),
+        "host_skew": measure_host_skew(spark),
         "burn_provenance": burn_prov,
     }))
     spark.stop()

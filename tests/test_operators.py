@@ -76,6 +76,28 @@ def test_select_round_budget_and_order(spark):
     assert flagged.count() == 13  # nothing lost
 
 
+def test_select_round_salt_count_invariant(spark):
+    """n_salts is a pure performance knob: the selected set is identical at
+    every salt count (the salted window only PRUNES candidates above the
+    k-th priority; the exact per-host selection runs after)."""
+    rows = [
+        (f"https://mega/x{i}/", "mega", 0, (i * 37) % 101, None, 0, 0)
+        for i in range(60)
+    ] + [(f"https://h{i}/y/", f"h{i}", 0, i, None, 0, 0) for i in range(5)]
+    frontier = _frontier(spark, rows)
+    robots = spark.createDataFrame(
+        [("mega", [], 7)],
+        "host string, disallow_prefixes array<string>, crawl_delay_tokens int",
+    )
+    base = None
+    for n_salts in (1, 4, 16):
+        sel = {r.url for r in select_round(frontier, robots, n_salts=n_salts)
+               .filter("selected").collect()}
+        base = sel if base is None else base
+        assert sel == base
+    assert len(base) == 12  # mega budget 7 + 5 singleton hosts
+
+
 def test_gate_robots_prefix(spark):
     cand = spark.createDataFrame(
         [("https://h1/block/a/", "h1"), ("https://h1/ok/", "h1"), ("https://h9/x/", "h9")],
