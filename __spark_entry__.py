@@ -1277,6 +1277,101 @@ def _warc_ingest_sql() -> str:
     )
 
 
+def _cdx_fixture_lines() -> list[str]:
+    return [
+        'com,a)/ 20240102030405 {"url": "https://a.com/", "mime": "text/html", '
+        '"status": "200", "digest": "sha1:AAA", "length": "120", "offset": "0", '
+        '"filename": "crawl/seg-00000.warc.gz"}',
+        'com,a)/ 20240201000000 {"url": "https://a.com/", "mime": "text/html", '
+        '"status": "200", "digest": "sha1:AAB", "length": "121", "offset": "99", '
+        '"filename": "crawl/seg-00007.warc.gz"}',
+        'com,b)/p 20240101000000 {"url": "https://b.com/p", "mime": "text/html", '
+        '"status": "404", "digest": "sha1:BBB", "length": "50", "offset": "10", '
+        '"filename": "crawl/seg-00001.warc.gz"}',
+        'com,c)/x 20240103000000 {"url": "https://c.com/x", '
+        '"mime": "application/pdf", "status": "200", "digest": "sha1:CCC", '
+        '"length": "9999", "offset": "20", "filename": "crawl/seg-00002.warc.gz"}',
+        'com,d)/ 20240104000000 {"url": "https://d.com/", "mime": "text/html", '
+        '"status": "200"}',
+        'com,bad)/ 20240105000000 {"url": broken json}',
+        "not a cdx line at all",
+        'com,e)/ 20241399000000 {"url": "https://e.com/", "mime": "text/html", '
+        '"status": "200", "digest": "sha1:EEE", "length": "1", "offset": "2", '
+        '"filename": "crawl/seg-00003.warc.gz"}',
+    ]
+
+
+_CDX_FIX: list[str] = []
+
+
+def _cdx_fixture_path() -> str:
+    if not _CDX_FIX:
+        d = tempfile.mkdtemp(prefix="graven_cdx_fix_")
+        p = os.path.join(d, "cdx-00000")
+        with open(p, "w") as f:
+            f.write("\n".join(_cdx_fixture_lines()))
+        _CDX_FIX.append(p)
+    return _CDX_FIX[0]
+
+
+def q_cdx_parse(spark, sf):
+    """Common-Crawl CDX(J) index parse (sources/cdx.py read_cdx): one
+    regexp_extract split + from_json, all JVM, malformed lines kept as
+    parse_failed rows."""
+    from graven_spark.sources import cdx as C
+
+    return C.read_cdx(spark, _cdx_fixture_path())
+
+
+def q_cdx_seeds(spark, sf):
+    """Seed derivation from the index: html-200 captures, first capture per
+    url via a map-side-combinable min (no window/global sort), priority =
+    first-capture epoch (unknown time → sentinel, sorts last)."""
+    from graven_spark.sources import cdx as C
+
+    return C.seeds_from_cdx(C.read_cdx(spark, _cdx_fixture_path()))
+
+
+def _cdx_sql(seeds: bool = False) -> str:
+    from graven_spark.sources.cdx import parse_cdx_line
+
+    rows = [parse_cdx_line(ln) for ln in _cdx_fixture_lines()]
+
+    def lit(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if typ == "TIMESTAMP":
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if typ in ("INT", "BIGINT"):
+            return str(v)
+        if typ == "BOOLEAN":
+            return "true" if v else "false"
+        return f"'{_sq(v)}'"
+
+    cols = [
+        ("urlkey", "VARCHAR"), ("fetch_ts", "TIMESTAMP"), ("url", "VARCHAR"),
+        ("mime", "VARCHAR"), ("http_status", "INT"), ("digest", "VARCHAR"),
+        ("warc_length", "BIGINT"), ("warc_offset", "BIGINT"),
+        ("warc_path", "VARCHAR"), ("parse_failed", "BOOLEAN"),
+    ]
+    vals = ", ".join(
+        "(" + ", ".join(lit(r[c], t) for c, t in cols) + ")" for r in rows
+    )
+    base = (
+        f"SELECT * FROM (VALUES {vals}) AS "
+        f"t({', '.join(c for c, _ in cols)})"
+    )
+    if not seeds:
+        return base
+    return (
+        f"WITH cdx AS ({base}) "
+        "SELECT url, coalesce(CAST(epoch(min(fetch_ts)) AS BIGINT), "
+        f"{1 << 62}) AS priority "
+        "FROM cdx WHERE NOT parse_failed AND http_status = 200 "
+        "AND mime = 'text/html' GROUP BY url"
+    )
+
+
 def q_run_pipeline_stages(spark, sf):  # per-worker-stage lineage rollup
     from graven_spark.plans.pipeline import stage_lineage_from
 
@@ -1522,6 +1617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_delay_budget": q_robots_delay_budget,
         "url_normalize": q_url_normalize,
         "warc_ingest": q_warc_ingest,
+        "cdx_parse": q_cdx_parse,
+        "cdx_seeds": q_cdx_seeds,
         "dedup_content_extract": q_dedup_content_extract,
     }
 
@@ -1910,5 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_delay_budget": _robots_delay_budget_sql(),
         "url_normalize": _url_normalize_sql(),
         "warc_ingest": _warc_ingest_sql(),
+        "cdx_parse": _cdx_sql(),
+        "cdx_seeds": _cdx_sql(seeds=True),
         "dedup_content_extract": _dedup_content_sql(),
     }
