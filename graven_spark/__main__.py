@@ -141,6 +141,14 @@ def main(argv: list[str] | None = None) -> int:
                             "level, document order) after any --seeds rows; "
                             "requires --robots-rfc (the rules table carries "
                             "the Sitemap: advertisements)")
+        c.add_argument("--cdx-seeds", default=None, metavar="PATH",
+                       help="append seeds derived from a Common-Crawl CDX(J) "
+                            "index (html-2xx captures, first capture per "
+                            "url, earliest-capture-first order) after any "
+                            "--seeds rows")
+        c.add_argument("--cdx-seed-limit", type=int, default=10000,
+                       help="cap on CDX-derived seeds (top-k by first-"
+                            "capture time; bounds the seed-ranking step)")
         c.add_argument("--state", required=True, help="checkpoint/state directory")
         c.add_argument("--robots", default=None, help="robots rules parquet")
         c.add_argument("--robots-rfc", action="store_true",
@@ -444,8 +452,8 @@ def main(argv: list[str] | None = None) -> int:
             max_batch_rounds=args.batch_max,
             **({"default_budget": args.budget} if args.budget is not None else {}),
         )
-        if not args.seeds and not args.sitemap_seeds:
-            p.error("one of --seeds / --sitemap-seeds is required")
+        if not args.seeds and not args.sitemap_seeds and not args.cdx_seeds:
+            p.error("one of --seeds / --sitemap-seeds / --cdx-seeds is required")
         if args.sitemap_seeds and not args.robots_rfc:
             p.error("--sitemap-seeds requires --robots-rfc (sitemaps come "
                     "from the parsed robots.txt advertisements)")
@@ -480,6 +488,33 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 seeds = seeds.unionByName(extra)
             seeds = seeds.localCheckpoint()  # pin: read every round
+        if args.cdx_seeds:
+            from pyspark.sql import Window
+
+            from .sources.cdx import read_cdx, seeds_from_cdx
+
+            cx = seeds_from_cdx(
+                read_cdx(spark, args.cdx_seeds), limit=args.cdx_seed_limit
+            )
+            # top-k already bounded cx to O(limit) rows, so the single-
+            # partition ranking window is bounded too (same contract as a
+            # seed file, which is read whole on the driver)
+            cx = cx.select(
+                F.row_number().over(Window.orderBy("priority", "url"))
+                .alias("_r"), "url",
+            )
+            if seeds is None:
+                seeds = cx.select((F.col("_r") - 1).alias("seed_rank"), "url")
+            else:
+                # append after existing seeds, first occurrence wins; rank
+                # gaps from the anti-join preserve order (same as sitemaps)
+                n0 = seeds.count()
+                extra = (
+                    cx.join(seeds.select("url"), "url", "anti")
+                    .select((F.col("_r") + n0 - 1).alias("seed_rank"), "url")
+                )
+                seeds = seeds.unionByName(extra)
+            seeds = seeds.localCheckpoint()
         if args.cmd == "run":
             from .plans.pipeline import run_pipeline
 

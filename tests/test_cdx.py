@@ -77,3 +77,29 @@ def test_seeds_from_cdx_limit_topk(spark, tmp_path):
     p.write_text("\n".join(_fixture_lines()))
     got = cdx.seeds_from_cdx(cdx.read_cdx(spark, str(p)), limit=1).collect()
     assert [r.url for r in got] == ["https://a.com/"]  # earliest first capture
+
+
+def test_cli_crawl_with_cdx_seeds(spark, smoke_graph, tmp_path):
+    """--cdx-seeds bootstraps a crawl with no seed file: index-derived
+    seeds in first-capture order drive the same engine path."""
+    import os
+
+    from graven_spark.__main__ import main
+
+    pages = str(tmp_path / "pages.parquet")
+    smoke_graph.pages.to_parquet(pages, index=False)
+    seeds = smoke_graph.seeds.sort_values("seed_rank")["url"].tolist()
+    lines = [
+        f'x)/{i} 202401{i + 1:02d}000000 '
+        f'{{"url": "{u}", "mime": "text/html", "status": "200"}}'
+        for i, u in enumerate(seeds)
+    ]
+    cdxp = tmp_path / "cdx-00000"
+    cdxp.write_text("\n".join(lines))
+    state = str(tmp_path / "state")
+    rc = main([
+        "crawl", "--pages", pages, "--cdx-seeds", str(cdxp), "--state", state,
+        "--bloom-buckets", "2", "--bloom-bits", "65536",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(state, "round_000000", "_COMMIT"))
