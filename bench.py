@@ -874,6 +874,15 @@ code change):
 (Full machine-readable history, incl. per-level throughput and burn M ops/s,
 in ``BENCH/windows.jsonl`` — appended by every ``--scaling`` run.)
 
+Reading the ceiling column: the burn is itself one sample per level per
+window, so a single depressed sample inverts the comparison — e.g. the
+2026-08-17 (round-5) window's 8-core burn measured 73.8 M ops/s vs 154-170
+in neighboring windows, which inflated that window's 8→32 "ceiling" to
+1.037 and made the job's 0.625 look like a job shortfall, while the SAME
+window's 4→16 pair showed job/hardware 1.07. A burn level deviating >1.5×
+from its cross-window median is a bad calibration sample, not a hardware
+truth; judge each window by the pairing whose burn samples are in family.
+
 The ≥0.8 contractual 4→16 pairing is now met in multiple independent
 windows (bold in the table), including round-5's 2026-08-17 window where
 the job's 0.828 EXCEEDED the box's own pure-CPU ceiling of 0.745
