@@ -38,8 +38,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
+    """ANSI-safe cosine: the session runs spark.sql.ansi.enabled=true (Spark 4
+    default), where a plain ``/`` on a zero-norm embedding (an empty document)
+    aborts the whole job with DIVIDE_BY_ZERO. ``try_divide`` yields NULL
+    instead — dropped by every >= threshold filter and ordered last by the
+    top-k sort, so results are unchanged for non-degenerate vectors."""
     a, b = _as_double(a), _as_double(b)
-    return dot(a, b) / (norm(a) * norm(b))
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -146,23 +151,29 @@ def embed_near_dup(
     this trades recall for never materializing the cross join; pairs whose
     sign pattern differs on any plane are not compared.
     """
+    # Each side projects to DISJOINT column names BEFORE the join: the
+    # alias('a')/alias('b') self-join over the identical bucketed plan hits
+    # Spark's self-join attribute dedup — the single-sided cos_sim filter
+    # gets pushed below the join and the job dies with
+    # [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] (reproduced on Spark 4.1.2 when
+    # the test runs in isolation). Disjoint names leave nothing to dedup.
     bucketed = embeddings.select(
         F.col(id_col), F.col(vec_col),
         srp_bucket(F.col(vec_col), dim, n_planes).alias("_bkt"),
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_vec_a"), "_bkt"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vec_b"), "_bkt"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a._bkt") == F.col("b._bkt"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, ["_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
-            ).alias("cos_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("_vec_a"), F.col("_vec_b")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -83,3 +83,20 @@ def test_embed_near_dup_never_crosses_buckets(spark):
     # bucket rule can exclude the pair
     pairs = simsearch.embed_near_dup(vecs, threshold=-2.0, dim=4, n_planes=2)
     assert pairs.count() == 0
+
+
+def test_embed_near_dup_zero_norm_survives_ansi(spark):
+    """A zero-norm embedding (empty document) shares the all-ones SRP bucket
+    with every dot>=0 vector; under ANSI (Spark 4 default) a plain ``/``
+    cosine would abort the whole job with DIVIDE_BY_ZERO. try_divide yields
+    NULL, which the threshold filter drops — the job completes and real
+    pairs are unaffected."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),      # zero-norm: must not kill the run
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = simsearch.embed_near_dup(vecs, threshold=0.9, dim=4, n_planes=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1)}
