@@ -100,12 +100,90 @@ def merge_shards(*shard_dfs: DataFrame) -> DataFrame:
     return unioned.groupBy("bucket").applyInPandas(merge, SHARD_SCHEMA)
 
 
+def broadcast_shard_map(shards: DataFrame, track: list | None = None):
+    """Collect the shard rows once and broadcast the bucket→bitarray map —
+    callers that probe repeatedly against the SAME shard generation (the
+    batched crawl round: up to max_batch_rounds depths share one shard set)
+    pass the handle to :func:`probe` instead of paying one driver collect +
+    broadcast per depth. ``track`` collects the handle for destroy()."""
+    sc = shards.sparkSession.sparkContext
+    shard_map = {
+        int(r["bucket"]): np.frombuffer(r["filter"], dtype=np.uint8)
+        for r in shards.collect()
+    }
+    bc = sc.broadcast(shard_map)
+    if track is not None:
+        track.append(bc)
+    return bc
+
+
+def _longs_df(spark, shard_map: dict, spec: BloomSpec) -> DataFrame:
+    """Shard bitarrays as (bucket, array<bigint>) rows for the JVM probe.
+    Little-endian 8-byte packing, so bit ``pos`` of the byte-level filter is
+    bit ``pos & 63`` of long ``pos >> 6`` — exactly the numpy build-side
+    layout (``_set_bits``: byte pos>>3, bit pos&7)."""
+    import pandas as pd
+
+    rows = pd.DataFrame({
+        "bucket": list(shard_map.keys()),
+        "_longs": [
+            arr.view("<u8").astype("int64") for arr in shard_map.values()
+        ],
+    })
+    return spark.createDataFrame(rows, "bucket int, _longs array<bigint>")
+
+
+def probe_jvm(
+    candidates: DataFrame,
+    shard_map: dict,
+    spec: BloomSpec,
+    url_col: str = "url",
+    longs_df: DataFrame | None = None,
+) -> DataFrame:
+    """Pure-JVM broadcast probe: the shard map rides as a 32-row broadcast
+    relation of packed longs; membership is ``n_hashes`` element_at + shift
+    + mask tests per row, whole-stage-codegen, no Python worker and no
+    Arrow round-trip of the candidate set (guide §4.1). Bit positions
+    reproduce the numpy build side exactly when ``bits_per_shard`` is a
+    power of two (uint64 wraparound == Java long wraparound, and
+    ``% bits == & (bits-1)``); :func:`probe` falls back to the pandas UDF
+    otherwise."""
+    spark = candidates.sparkSession
+    longs = longs_df if longs_df is not None else _longs_df(spark, shard_map, spec)
+    hashed = with_bloom_hashes(candidates, url_col, spec)
+    joined = hashed.join(F.broadcast(longs), "bucket", "left")
+    mask = F.lit(spec.bits_per_shard - 1).cast("long")
+    # Reduce mod 2^m BEFORE the multiply-add: (h1 + k*h2) mod 2^m ==
+    # ((h1 & mask) + k*(h2 & mask)) & mask, and the reduced operands can't
+    # overflow a long — ANSI mode (session default) would abort on the raw
+    # uint64-wraparound form. The odd bit of h2 survives the mask.
+    h1m = F.col("_h1").bitwiseAND(mask)
+    h2m = F.col("_h2").bitwiseOR(F.lit(1)).bitwiseAND(mask)
+    bits = []
+    for k in range(spec.n_hashes):
+        pos = (h1m + F.lit(k) * h2m).bitwiseAND(mask)
+        word = F.element_at(F.col("_longs"), (F.shiftright(pos, 6) + 1).cast("int"))
+        bits.append(
+            F.call_function(
+                "shiftright", word, pos.bitwiseAND(F.lit(63)).cast("int")
+            ).bitwiseAND(F.lit(1)) == 1
+        )
+    all_set = bits[0]
+    for b in bits[1:]:
+        all_set = all_set & b
+    maybe = F.when(F.col("_longs").isNull(), F.lit(False)).otherwise(all_set)
+    return joined.withColumn("maybe_seen", maybe).drop(
+        "_h1", "_h2", "bucket", "_longs"
+    )
+
+
 def probe(
     candidates: DataFrame,
     shards: DataFrame,
     spec: BloomSpec,
     url_col: str = "url",
     track: list | None = None,
+    shard_bc=None,
 ) -> DataFrame:
     """Default probe: broadcast the shard map (collected once per round,
     ``n_buckets × shard_nbytes`` — e.g. 32×256 KiB = 8 MiB) and test
@@ -118,15 +196,30 @@ def probe(
 
     ``track``: optional list collecting the broadcast handle so the caller
     can ``destroy()`` it once its actions finish (one broadcast per round
-    would otherwise accumulate over a long crawl)."""
-    sc = candidates.sparkSession.sparkContext
-    shard_map = {
-        int(r["bucket"]): np.frombuffer(r["filter"], dtype=np.uint8)
-        for r in shards.collect()
-    }
-    bc = sc.broadcast(shard_map)
-    if track is not None:
-        track.append(bc)
+    would otherwise accumulate over a long crawl). ``shard_bc``: a handle
+    from :func:`broadcast_shard_map` to reuse across probes of the same
+    shard generation (skips this call's collect+broadcast).
+
+    Dispatch: power-of-two ``bits_per_shard`` (every shipped spec) takes the
+    pure-JVM :func:`probe_jvm`; anything else keeps the vectorized pandas
+    probe (the numpy ``%`` on uint64 and the JVM ``&`` mask only agree for
+    powers of two)."""
+    if spec.bits_per_shard & (spec.bits_per_shard - 1) == 0:
+        if shard_bc is not None:
+            # memoize the packed-longs relation on the shared handle: one
+            # conversion per shard generation, not per probe
+            longs = getattr(shard_bc, "_graven_longs_df", None)
+            if longs is None:
+                longs = _longs_df(candidates.sparkSession, shard_bc.value, spec)
+                shard_bc._graven_longs_df = longs
+            return probe_jvm(candidates, shard_bc.value, spec, url_col, longs)
+        shard_map = {
+            int(r["bucket"]): np.frombuffer(r["filter"], dtype=np.uint8)
+            for r in shards.collect()
+        }
+        return probe_jvm(candidates, shard_map, spec, url_col)
+
+    bc = shard_bc if shard_bc is not None else broadcast_shard_map(shards, track)
 
     @F.pandas_udf("boolean")
     def maybe_seen_udf(bucket: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:

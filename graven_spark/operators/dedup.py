@@ -57,6 +57,7 @@ def admit_new(
     broadcast_limit: int = BLOOM_BROADCAST_LIMIT,
     track: list | None = None,
     dedup_first: bool = False,
+    shard_bc=None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose url is in no part of ``seen``.
 
@@ -98,7 +99,10 @@ def admit_new(
     if spec.n_buckets * spec.shard_nbytes > broadcast_limit:
         probed = probe_cogrouped(candidates, shards, spec)
     else:
-        probed = probe(candidates, shards, spec, track=track)
+        # shard_bc: pre-broadcast shard map shared across the batched crawl
+        # round's depths (one driver collect per shard GENERATION, not per
+        # probe — bloom.broadcast_shard_map)
+        probed = probe(candidates, shards, spec, track=track, shard_bc=shard_bc)
     if dedup_first:
         probed = first_occurrence(probed)
     if not parts:

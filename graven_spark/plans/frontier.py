@@ -266,18 +266,20 @@ def _round_dataflow(
     bloom_bcs: list,
     batch_deltas: list[DataFrame],
     truncate: bool = False,
+    shard_bc=None,
 ) -> _RoundFlow:
     """The per-depth dataflow for logical round k: politeness select →
     global FIFO rank → fetch join → link explode → admission → split.
     ``batch_deltas``: urls admitted by earlier depths of the SAME committed
     batch — exact anti-join parts (tiny, AQE-broadcast; they are not Bloom
     -covered, so they must not carry the maybe_seen condition).
-    ``truncate``: materialize ``new`` / ``next_frontier`` via eager
-    localCheckpoint instead of persist — REQUIRED when depths chain in
-    memory (each depth's logical plan builds on the last; 16 chained
-    depths of un-truncated plan OOM the driver just *printing* the tree).
-    Mid-batch fault tolerance is not lost: a crashed batch recomputes from
-    the committed round."""
+    ``truncate``: materialize the combined admitted/deferred/retries frame
+    via eager localCheckpoint instead of persist — REQUIRED when depths
+    chain in memory (each depth's logical plan builds on the last; 16
+    chained depths of un-truncated plan OOM the driver just *printing* the
+    tree). Mid-batch fault tolerance is not lost: a crashed batch recomputes
+    from the committed round. ``shard_bc``: pre-broadcast Bloom shard map
+    shared across the batch's depths (bloom.broadcast_shard_map)."""
     # -- politeness selection (W3/T3) --------------------------------------
     flagged = select_round(frontier, robots, cfg.default_budget, cfg.n_salts,
                            delay_window_s=cfg.delay_window_s)
@@ -382,20 +384,39 @@ def _round_dataflow(
     # probe → within-batch FIFO first-occurrence dedup → exact anti-joins;
     # dedup_first keeps the aggregate's url-partitioning visible to the
     # joins (one candidate shuffle total — see admit_new docstring)
-    new = admit_new(
+    new0 = admit_new(
         cand, seen_parts, shards, cfg.bloom,
         broadcast_limit=cfg.bloom_broadcast_limit, track=bloom_bcs,
-        dedup_first=True,
+        dedup_first=True, shard_bc=shard_bc,
     )
     for d in batch_deltas:
-        new = new.join(d.select("url"), "url", "left_anti")
-    new = new.localCheckpoint(eager=True) if truncate else new.persist()
+        new0 = new0.join(d.select("url"), "url", "left_anti")
 
-    new_dirs = (
-        new.filter(F.col("is_dir"))
-        .withColumn("retry_count", F.lit(0))
-        .select(*FRONTIER_COLS)
+    # ONE materialization per depth: admitted ∪ deferred ∪ retries as a
+    # single tagged frame. Rounds 1-5 checkpointed `new` and `next_frontier`
+    # separately — two jobs per depth, and the next_frontier job re-ran the
+    # politeness flag pass for `deferred` (flagged is not cached). The union
+    # computes everything once; `new` and `next_frontier` are filters over
+    # the cached/checkpointed result (no further jobs).
+    new_cols = new0.columns
+    nullb = F.lit(None).cast("boolean")
+    nulls = F.lit(None).cast("string")
+    combined = (
+        new0.select(
+            *FRONTIER_COLS[:-1],  # url..discovery_idx (retry_count synthesized)
+            F.lit(0).alias("retry_count"), "is_dir", "ts_str",
+            F.lit("n").alias("_tag"),
+        )
+        .unionByName(deferred.select(
+            *FRONTIER_COLS, nullb.alias("is_dir"), nulls.alias("ts_str"),
+            F.lit("d").alias("_tag")))
+        .unionByName(retries.select(
+            *FRONTIER_COLS, nullb.alias("is_dir"), nulls.alias("ts_str"),
+            F.lit("r").alias("_tag")))
     )
+    combined = combined.localCheckpoint(eager=True) if truncate else combined.persist()
+    new = combined.filter(F.col("_tag") == "n").select(*new_cols)
+
     new_leaves = new.filter(~F.col("is_dir")).select(
         "url", "depth", "ts_str", "parent_url"
     )
@@ -429,40 +450,40 @@ def _round_dataflow(
 
     # -- lineage (A1-A3): per-partition rows --------------------------------
     # urls_in counts scheduled URLs (incl. dead links); bytes only from
-    # pages actually fetched.
-    lin_in = ranked.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-        F.count("*").alias("urls_in")
-    ).withColumn("urls_out", F.lit(0).cast("long")).withColumn(
-        "bytes_fetched", F.lit(0).cast("long")
+    # pages actually fetched. ONE tagged union + ONE aggregate: the
+    # round-5 shape ran three separate groupBys (three Exchanges, ~5 AQE
+    # stage-jobs per lineage write — the single most expensive write in the
+    # round profile). spark_partition_id is evaluated in each branch's own
+    # projection BEFORE the union, so rows keep their source partition ids;
+    # per-(partition, source) rows are identical to the three-agg form.
+    pid = F.spark_partition_id().alias("partition_id")
+    zero = F.lit(0).cast("long")
+    lin_src = (
+        ranked.select(pid, F.lit("i").alias("_t"), zero.alias("page_bytes"))
+        .unionByName(fetched.select(pid, F.lit("b").alias("_t"), "page_bytes"))
+        .unionByName(new.select(pid, F.lit("o").alias("_t"),
+                                zero.alias("page_bytes")))
     )
-    lin_bytes = fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-        F.sum("page_bytes").alias("bytes_fetched")
-    ).withColumn("urls_in", F.lit(0).cast("long")).withColumn(
-        "urls_out", F.lit(0).cast("long")
+    lin_agg = lin_src.groupBy("partition_id", "_t").agg(
+        F.count("*").alias("_n"), F.sum("page_bytes").alias("_b")
     )
-    lin_out = new.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-        F.count("*").alias("urls_out")
-    ).withColumn("urls_in", F.lit(0).cast("long")).withColumn(
-        "bytes_fetched", F.lit(0).cast("long")
-    )
-    lineage = (
-        lin_in.unionByName(lin_bytes.select(*lin_in.columns))
-        .unionByName(lin_out.select(*lin_in.columns))
-        .select(
-            F.lit(cfg.run_id).alias("run_id"), F.lit(k).alias("round"),
-            "partition_id", "urls_in", "urls_out", "bytes_fetched",
-        )
+    lineage = lin_agg.select(
+        F.lit(cfg.run_id).alias("run_id"), F.lit(k).alias("round"),
+        "partition_id",
+        F.when(F.col("_t") == "i", F.col("_n")).otherwise(zero).alias("urls_in"),
+        F.when(F.col("_t") == "o", F.col("_n")).otherwise(zero).alias("urls_out"),
+        F.when(F.col("_t") == "b", F.col("_b")).otherwise(zero).alias("bytes_fetched"),
     )
 
-    next_frontier = deferred.unionByName(new_dirs).unionByName(retries)
-    next_frontier = (
-        next_frontier.localCheckpoint(eager=True) if truncate
-        else next_frontier.persist()
-    )
+    # next frontier = deferred ∪ admitted dirs ∪ retries — a filter over the
+    # already-materialized combined frame, not a separate checkpoint
+    next_frontier = combined.filter(
+        (F.col("_tag") != "n") | F.coalesce(F.col("is_dir"), F.lit(False))
+    ).select(*FRONTIER_COLS)
     next_count = next_frontier.count()
     persisted = [fetched, failed, leaf_pages, pinned]
     if not truncate:  # checkpointed frames free via ContextCleaner on GC
-        persisted += [new, next_frontier]
+        persisted += [combined]
     return _RoundFlow(
         next_frontier=next_frontier,
         new=new,
@@ -503,6 +524,18 @@ def run_round(
     seen_parts = [p for p in (seen_base, seen_deltas) if p is not None]
     shards, shards_rebuilt = validated_shards(spark, store, meta, cfg, k)
     bloom_bcs: list = []
+    # ONE shard collect+broadcast per committed transition: every depth of a
+    # batched round probes the same shard generation (new-in-batch urls are
+    # handled by the exact batch_deltas anti-joins), so the per-depth driver
+    # collect the round-5 shape paid was pure overhead.
+    shard_bc = None
+    if (
+        shards is not None
+        and cfg.bloom.n_buckets * cfg.bloom.shard_nbytes <= cfg.bloom_broadcast_limit
+    ):
+        from ..operators.bloom import broadcast_shard_map
+
+        shard_bc = broadcast_shard_map(shards, track=bloom_bcs)
 
     batching = 0 < meta.frontier_count < cfg.batch_threshold
     max_inner = cfg.max_batch_rounds if batching else 1
@@ -517,6 +550,7 @@ def run_round(
             frontier, seen_parts, shards, bloom_bcs,
             batch_deltas=[f.new for f in flows],
             truncate=batching,
+            shard_bc=shard_bc,
         )
         flows.append(flow)
         priority_base += flow.n_selected * PRIORITY_STRIDE
@@ -541,8 +575,6 @@ def run_round(
     all_new = flows[0].new
     for f in flows[1:]:
         all_new = all_new.unionByName(f.new)
-    store.write(commit_k, "frontier", flows[-1].next_frontier)
-    store.write(commit_k, "seen_delta", _seen_delta(all_new))
     results = flows[0].results
     errors = flows[0].errors
     lineage = flows[0].lineage
@@ -550,10 +582,23 @@ def run_round(
         results = results.unionByName(f.results)
         errors = errors.unionByName(f.errors)
         lineage = lineage.unionByName(f.lineage)
-    store.write(commit_k, "results_delta", results)
-    store.write(commit_k, "errors_delta", errors)
-    store.write(commit_k, "lineage", lineage)
-    store.write(commit_k, "domains", domains)
+
+    # The commit's artifacts are independent of each other and all derive
+    # from persisted/checkpointed frames — write them CONCURRENTLY (guide
+    # §2.6: actions are only sequential because the driver calls them
+    # sequentially; a small pool lets each write's tail back-fill the idle
+    # cores of the others). Profiled round 5: the seven sequential writes
+    # were ~half of full_crawl's wall time, almost all of it per-job fixed
+    # latency on KB-scale frames. Any failure propagates before commit, so
+    # the crash-safety contract (commit marker last) is unchanged.
+    writes: list[tuple[str, DataFrame]] = [
+        ("frontier", flows[-1].next_frontier),
+        ("seen_delta", _seen_delta(all_new)),
+        ("results_delta", results),
+        ("errors_delta", errors),
+        ("lineage", lineage),
+        ("domains", domains),
+    ]
     if cfg.use_bloom:
         # LSM shards: per-round writes are DELTAS (O(new urls) bytes, not
         # O(total filter) — a 10^10-URL filter is tens of GB); a full merged
@@ -570,9 +615,14 @@ def run_round(
         )
         if full_due:
             shards_next = merge_shards(shards, delta) if shards is not None else delta
-            store.write(commit_k, "shards", shards_next)
+            writes.append(("shards", shards_next))
         else:
-            store.write(commit_k, "shards_delta", delta)
+            writes.append(("shards_delta", delta))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(lambda nd: store.write(commit_k, nd[0], nd[1]), writes))
 
     next_meta = RoundMeta(
         round=commit_k,

@@ -45,10 +45,12 @@ def test_dedup_content_outputs_identical(spark, tmp_path):
 
 
 def test_dedup_content_plan_shape(spark, tmp_path):
-    """The extraction UDF must sit above the per-body aggregate, not the
-    per-URL rows: ArrowEval and first(html) appear in the same plan, and the
-    join back to URLs keys on body_sha WITHOUT a forced broadcast (the
-    distinct-body set is unbounded; AQE may still broadcast at runtime)."""
+    """The extraction must sit above the per-body aggregate, not the
+    per-URL rows: the JVM regexp extraction and first(html) appear in the
+    same plan (round 6 moved extraction from an Arrow UDF to pure Catalyst,
+    so no Python eval node may appear at all), and the join back to URLs
+    keys on body_sha WITHOUT a forced broadcast (the distinct-body set is
+    unbounded; AQE may still broadcast at runtime)."""
     import io
     from contextlib import redirect_stdout
 
@@ -68,7 +70,8 @@ def test_dedup_content_plan_shape(spark, tmp_path):
     with redirect_stdout(buf):
         joined.explain("formatted")
     plan = buf.getvalue()
-    assert "ArrowEvalPython" in plan or "ArrowEval" in plan
+    assert "regexp_extract_all" in plan
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
     assert "first(html" in plan
     # join keyed on the body hash; strategy is Catalyst's choice (no forced
     # hint in dedup_body_extract — AQE broadcasts at runtime iff small)

@@ -118,3 +118,50 @@ def test_global_rank_dense_and_ordered(spark):
     assert n == 97
     assert [r[1] for r in rows] == list(range(97))  # rank == sort position
     pinned.unpersist()
+
+
+def test_probe_jvm_matches_pandas_probe_exactly(spark):
+    """The pure-JVM bit-test probe must agree with the vectorized pandas
+    probe bit-for-bit on every url (members AND non-members — false
+    positives included, since both must test the same numpy-built bit
+    positions). A non-power-of-two spec exercises the pandas fallback."""
+    from graven_spark.operators.bloom import broadcast_shard_map, probe_jvm
+    import numpy as np
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(400)], "url string")
+    shards = build_shards(members, SPEC)
+    cand = spark.createDataFrame(
+        [(f"m{i}",) for i in range(400)] + [(f"x{i}",) for i in range(2000)],
+        "url string")
+
+    shard_map = {
+        int(r["bucket"]): np.frombuffer(r["filter"], dtype=np.uint8)
+        for r in shards.collect()
+    }
+    got_jvm = {r.url: r.maybe_seen
+               for r in probe_jvm(cand, shard_map, SPEC).collect()}
+    # reference: the numpy kernels the builder/pandas probe share, driver-side
+    from graven_spark.operators import bloom as B
+
+    hashed = B.with_bloom_hashes(cand, "url", SPEC).collect()
+    got_ref = {}
+    for r in hashed:
+        filt = shard_map.get(int(r.bucket))
+        if filt is None:
+            got_ref[r.url] = False
+            continue
+        pos = B._bit_positions(
+            np.array([r._h1]), np.array([r._h2]), SPEC)
+        got_ref[r.url] = bool(B._test_bits(filt, pos)[0])
+    assert got_jvm == got_ref
+    assert all(got_jvm[f"m{i}"] for i in range(400))  # no false negatives
+    assert broadcast_shard_map is not None  # imported surface stays exported
+
+
+def test_probe_odd_bits_falls_back_and_finds_members(spark):
+    odd = BloomSpec(n_buckets=4, bits_per_shard=3000, n_hashes=5)
+    urls = spark.createDataFrame([(f"u{i}",) for i in range(300)], "url string")
+    shards = build_shards(urls, odd)
+    probed = probe(urls.select("url"), shards, odd)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
