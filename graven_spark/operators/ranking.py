@@ -30,11 +30,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+SMALL_RANK_THRESHOLD = 100_000
+
+
 def with_global_rank(
     df: DataFrame,
     order_col: str = "priority",
     rank_col: str = "fifo_rank",
     num_partitions: int | None = None,
+    size_hint: int | None = None,
 ) -> tuple[DataFrame, int, DataFrame]:
     """Attach a dense 0-based global rank by ``order_col`` (numeric, must be
     unique). Returns ``(ranked_df, total_rows, pinned)`` — the count falls
@@ -42,10 +46,25 @@ def with_global_rank(
     handle the CALLER must ``unpersist()`` after its actions complete (the
     stats pass, the counts pass and the final rank job would each re-execute
     the upstream plan otherwise, but the cache must not leak round-over-round).
-    """
+
+    ``size_hint``: the caller's known upper bound on ``df``'s row count (the
+    crawl loop tracks the frontier count across rounds). Below
+    ``SMALL_RANK_THRESHOLD`` the analytic bucket machinery is pure per-job
+    overhead — a deep crawl tail pays two driver actions per depth for a
+    few hundred rows — so the small path runs ONE count + a single-partition
+    window: same dense rank values, one fewer job, no offsets broadcast."""
     spark = df.sparkSession
     nb = num_partitions or spark.sparkContext.defaultParallelism * 4
     df = df.persist()
+    if size_hint is not None and size_hint < SMALL_RANK_THRESHOLD:
+        total = df.count()
+        if total == 0:
+            return df.withColumn(rank_col, F.lit(0).cast("long")), 0, df
+        w = Window.orderBy(order_col)
+        ranked = df.withColumn(
+            rank_col, F.row_number().over(w).cast("long") - 1
+        )
+        return ranked, total, df
     stats = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi"),
         F.count("*").alias("n"),

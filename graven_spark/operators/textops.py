@@ -88,7 +88,15 @@ def ngram_jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        # merge hint: both sides of the inverted-index self-join become the
+        # IDENTICAL shuffle exchange over `sh`, so ReusedExchange computes
+        # the explode+stop-shingle pass ONCE (a broadcast build side would
+        # recompute it); sort-merge also spills gracefully on a hot shingle
+        a.join(
+            b.hint("merge"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -137,8 +145,12 @@ def minhash_lsh_candidates(
     a = banded.alias("a")
     b = banded.alias("b")
     return (
+        # merge hint: identical shuffle exchanges on both sides let
+        # ReusedExchange run the shingle-explode + 16-min signature
+        # aggregate ONCE instead of once per join side (the dominant pass
+        # at corpus scale; a broadcast build side defeats the reuse)
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

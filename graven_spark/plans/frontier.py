@@ -90,16 +90,13 @@ class CrawlConfig:
     # reference's concat absolutization does no normalization, so replay
     # parity requires the raw strings.
     normalize_urls: bool = False
-    # Run the Arrow extraction UDFs once per DISTINCT page body instead of
-    # once per URL, via batch-local memoization inside the UDF (the
-    # `_memo` twins in functions/extract.py): each Arrow batch dedups its
-    # bodies in-process, so the win costs zero shuffle and the plan is
-    # unchanged. Byte-identical bodies extract to byte-identical results,
-    # so outputs are unchanged (equivalence-tested). The global
-    # groupBy(body_sha) alternative (functions/extract.dedup_body_extract)
-    # measured slower at every duplicate rate — its sha+shuffle overhead
-    # exceeds the saved UDF time (bench `dedup_extract` micro) — and is
-    # kept only as the documented/oracled variant.
+    # Content-dedup extraction flag. Since round 6 the extractors are pure
+    # JVM expressions (functions/extract.py) — cheaper than hashing bodies —
+    # so the batch-local memo twins are the plain extractors (identical
+    # results, flag is a no-op on the plan) and the global groupBy(body_sha)
+    # variant (functions/extract.dedup_body_extract) remains the documented/
+    # oracled alternative, still slower at every measured duplicate rate
+    # (bench `dedup_extract` micro).
     dedup_content: bool = False
     seen_buckets: int = SEEN_BUCKETS_DEFAULT
     bloom_broadcast_limit: int = BLOOM_BROADCAST_LIMIT
@@ -143,20 +140,33 @@ def _domains_step(
     COMPLETED gate, /root/reference/graven/db/graven_database.py:188-210):
     a host is IN_PROGRESS while it has frontier rows; its first absence
     stamps COMPLETED/end_round; re-discovery re-opens it. Tiny data — one
-    row per host ever seen."""
-    present = next_frontier.select("host").distinct().withColumn(
-        "_present", F.lit(True)
-    )
-    j = prev.join(present, "host", "full")
-    is_present = F.coalesce(F.col("_present"), F.lit(False))
-    return j.select(
+    row per host ever seen.
+
+    One tagged union + one groupBy(host): the round-5 shape
+    (distinct + full-outer join) shuffled three times per depth for the
+    same fold; ``prev`` holds at most one row per host, so max() over the
+    union recovers its fields and max(_f) is the presence test — identical
+    output rows."""
+    u = prev.select(
+        "host", "start_round", "end_round", F.lit(False).alias("_f")
+    ).unionByName(next_frontier.select(
         "host",
-        F.when(is_present, F.lit("IN_PROGRESS"))
+        F.lit(None).cast("int").alias("start_round"),
+        F.lit(None).cast("int").alias("end_round"), F.lit(True).alias("_f"),
+    ))
+    agg = u.groupBy("host").agg(
+        F.max("_f").alias("_present"),
+        F.max("start_round").alias("_start"),
+        F.max("end_round").alias("_end"),
+    )
+    return agg.select(
+        "host",
+        F.when(F.col("_present"), F.lit("IN_PROGRESS"))
         .otherwise(F.lit("COMPLETED"))
         .alias("status"),
-        F.coalesce(F.col("start_round"), F.lit(next_round)).alias("start_round"),
-        F.when(is_present, F.lit(None).cast("int"))
-        .otherwise(F.coalesce(F.col("end_round"), F.lit(next_round)))
+        F.coalesce(F.col("_start"), F.lit(next_round)).alias("start_round"),
+        F.when(F.col("_present"), F.lit(None).cast("int"))
+        .otherwise(F.coalesce(F.col("_end"), F.lit(next_round)))
         .alias("end_round"),
     )
 
@@ -267,6 +277,7 @@ def _round_dataflow(
     batch_deltas: list[DataFrame],
     truncate: bool = False,
     shard_bc=None,
+    frontier_rows: int | None = None,
 ) -> _RoundFlow:
     """The per-depth dataflow for logical round k: politeness select →
     global FIFO rank → fetch join → link explode → admission → split.
@@ -288,8 +299,12 @@ def _round_dataflow(
 
     # -- global FIFO rank (W1/W2) ------------------------------------------
     # JVM-only analytic rank over the full round set: one bucket-hash shuffle
-    # (no range sampling, no Python round trip, no join-back).
-    ranked, n_selected, pinned = with_global_rank(selected, "priority", "fifo_rank")
+    # (no range sampling, no Python round trip, no join-back). The committed
+    # frontier count rides in as the size hint — tail depths take the
+    # single-window small path (one fewer driver action per depth).
+    ranked, n_selected, pinned = with_global_rank(
+        selected, "priority", "fifo_rank", size_hint=frontier_rows
+    )
     if n_selected == 0:
         pinned.unpersist()
         raise RuntimeError(
@@ -544,6 +559,7 @@ def run_round(
     domains = store.read_domains(spark, k)
     priority_base = meta.priority_base
     logical_k = k
+    frontier_rows = meta.frontier_count
     while True:
         flow = _round_dataflow(
             spark, pages_path, robots, cfg, logical_k, priority_base,
@@ -551,6 +567,7 @@ def run_round(
             batch_deltas=[f.new for f in flows],
             truncate=batching,
             shard_bc=shard_bc,
+            frontier_rows=frontier_rows,
         )
         flows.append(flow)
         priority_base += flow.n_selected * PRIORITY_STRIDE
@@ -563,6 +580,7 @@ def run_round(
         if batching and len(flows) % 4 == 0:
             domains = domains.localCheckpoint(eager=True)
         frontier = flow.next_frontier
+        frontier_rows = flow.next_count
         if (
             len(flows) >= max_inner
             or flow.next_count == 0

@@ -55,10 +55,18 @@ def main() -> None:
     fetch = pages.join(F.broadcast(round_set), "url", "inner").withColumn(
         "ext", extract_links(F.col("html"))
     )
+    fetch_plan = formatted(fetch)
     sections.append((
-        "Fetch join (pages ⋈ broadcast round set) + Arrow extraction",
-        formatted(fetch),
+        "Fetch join (pages ⋈ broadcast round set) + JVM link extraction",
+        fetch_plan,
         ["BroadcastHashJoin", "ReadSchema: struct<url:string,html:binary>"],
+    ))
+    EXTRA_CHECKS.append((
+        "link extraction is pure Catalyst (round 6): regexp scan + "
+        "structural parse, zero Python eval nodes in the fetch path",
+        "regexp_extract_all" in fetch_plan
+        and "ArrowEval" not in fetch_plan
+        and "BatchEvalPython" not in fetch_plan,
     ))
 
     # 2. pushdown: scheduling-only scan must NOT read html
@@ -90,7 +98,7 @@ def main() -> None:
         # seen side is small. min/min_by buffers aren't hash-agg capable, so
         # first_occurrence compiles to SortAggregate BY DESIGN (measured
         # cheapest vs min_by(struct) and vs agg+semi-join-back, which would
-        # run the Arrow explode twice — see dedup.first_occurrence docstring).
+        # run the extraction explode twice — see dedup.first_occurrence docs).
         ["LeftAnti", "SortAggregate"],
     ))
 
@@ -345,11 +353,14 @@ def main() -> None:
     ).withColumn("body_sha", F.sha2(F.col("html"), 256))
     dedup_plan = formatted(dedup_body_extract(body_df, extract_text, "text"))
     EXTRA_CHECKS.append((
-        "content-dedup extraction: Arrow UDF runs above first(html) per "
+        "content-dedup extraction: JVM extraction (round 6: regexp "
+        "expressions, no Python eval node at all) runs above first(html) per "
         "body_sha (map-side partial_first keeps the shuffle at one body per "
         "hash/partition); join-back keys on body_sha with NO forced "
         "broadcast (distinct side unbounded — AQE broadcasts iff small)",
-        "ArrowEval" in dedup_plan
+        "regexp_replace" in dedup_plan
+        and "ArrowEval" not in dedup_plan
+        and "BatchEvalPython" not in dedup_plan
         and "partial_first" in dedup_plan
         and "body_sha" in dedup_plan,
     ))
