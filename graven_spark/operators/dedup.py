@@ -78,12 +78,20 @@ def admit_new(
     actions complete.
 
     ``dedup_first=True`` folds the within-batch first-occurrence dedup INTO
-    the admission: probe → first_occurrence → anti-joins. The probe must run
-    *before* the aggregate (``maybe_seen`` is a pure function of url, so the
-    result is identical) because an ArrowEvalPython node between the
-    aggregate and the join hides the aggregate's url-partitioning from
-    EnsureRequirements — probing after dedup costs a redundant full
-    candidate re-shuffle (measured: 3 exchanges vs 2, PLANS.md).
+    the admission: probe → anti-joins → first_occurrence. The joins run
+    BEFORE the aggregate (round 6): candidates shuffle+sort on url exactly
+    once for the sort-merge anti-join, the join drops every already-seen
+    url, and the aggregate then runs over the join's url-partitioned,
+    url-sorted, pre-thinned output with NO further exchange or sort. The
+    round-5 order (aggregate first) paid TWO full sorts — the partial
+    SortAggregate sorted every map partition before the shuffle, with
+    almost no shuffle reduction to show for it (same-url candidates rarely
+    co-locate pre-shuffle) — plus the final aggregate over the un-thinned
+    set. Results are identical either way: dropping url ∈ seen commutes
+    with per-url min-priority selection, and ``maybe_seen`` is a pure
+    function of url. (The probe itself is JVM-side since round 6, so no
+    Python eval node can hide the join's partitioning from
+    EnsureRequirements wherever the aggregate sits.)
 
     Correctness never depends on the shards (bloom-positive ⇒ exact check);
     it does require the shards to cover the whole seen set — a missing or
@@ -91,10 +99,10 @@ def admit_new(
     records the spec so resume rebuilds on mismatch (frontier.py)."""
     parts = [seen] if isinstance(seen, DataFrame) else list(seen or [])
     if shards is None:
-        out = first_occurrence(candidates) if dedup_first else candidates
+        out = candidates
         for p in parts:
             out = out.join(p.select("url"), "url", "left_anti")
-        return out
+        return first_occurrence(out) if dedup_first else out
     spec = spec or BloomSpec()
     if spec.n_buckets * spec.shard_nbytes > broadcast_limit:
         probed = probe_cogrouped(candidates, shards, spec)
@@ -103,13 +111,10 @@ def admit_new(
         # round's depths (one driver collect per shard GENERATION, not per
         # probe — bloom.broadcast_shard_map)
         probed = probe(candidates, shards, spec, track=track, shard_bc=shard_bc)
-    if dedup_first:
-        probed = first_occurrence(probed)
-    if not parts:
-        return probed.drop("maybe_seen")
     out = probed
     for p in parts:
         pu = p.select(F.col("url").alias("_seen_url"))
         cond = (F.col("url") == F.col("_seen_url")) & F.col("maybe_seen")
         out = out.join(pu, cond, "left_anti")
-    return out.drop("maybe_seen")
+    out = out.drop("maybe_seen")
+    return first_occurrence(out) if dedup_first else out
