@@ -138,11 +138,12 @@ def main() -> None:
     n_exchanges = len([ln for ln in eng_plan.splitlines() if ") Exchange" in ln])
     seen_scan_ok = "Bucketed: true" in eng_plan and "SelectedBucketsCount" in eng_plan
     # Expected data movement in the WHOLE admission plan: exactly TWO
-    # Exchanges — (1) the candidate set's hash shuffle on url feeding the
-    # first-occurrence SortAggregate, whose url-partitioning AND sort order
-    # both anti-joins then REUSE (zero exchange AND zero sort on the bucketed
-    # seen base side, no candidate re-shuffle), and (2) the small
-    # post-compaction delta side.
+    # Exchanges — (1) the candidate set's single hash shuffle on url feeding
+    # the base anti-join (round 6 order: join BEFORE dedup), whose
+    # url-partitioning and sort order the delta anti-join AND the
+    # first-occurrence SortAggregate then REUSE (zero exchange AND zero sort
+    # on the bucketed seen base side, no candidate re-shuffle, no second
+    # sort for the aggregate), and (2) the small post-compaction delta side.
     tree = eng_plan.split("\n\n(1)")[0].splitlines()
     scan_idx = next(
         i for i, ln in enumerate(tree) if "Scan parquet spark_catalog" in ln
@@ -163,8 +164,7 @@ def main() -> None:
         eng_plan,
         ["LeftAnti", "Bucketed: true", "SelectedBucketsCount"],
     ))
-    global EXTRA_CHECKS
-    EXTRA_CHECKS = extra
+    EXTRA_CHECKS.extend(extra)
 
     # 4. politeness threshold selection
     robots = spark.createDataFrame(
