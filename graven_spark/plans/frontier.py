@@ -639,7 +639,11 @@ def run_round(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # one thread per artifact: the writes are KB-scale latency-bound jobs
+    # (guide §2.6 recommends 2-3 in flight for big jobs; these are tiny and
+    # the cluster-side work still queues through the scheduler) — measured
+    # 24.6 → 21.5-22.4 s full_crawl vs a 4-wide pool
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
         list(pool.map(lambda nd: store.write(commit_k, nd[0], nd[1]), writes))
 
     next_meta = RoundMeta(
