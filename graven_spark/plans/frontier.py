@@ -429,6 +429,9 @@ def _round_dataflow(
             *FRONTIER_COLS, nullb.alias("is_dir"), nulls.alias("ts_str"),
             F.lit("r").alias("_tag")))
     )
+    # (A lazy checkpoint folded into the next_count action measured a wash
+    # against eager+count in interleaved A/B — kept eager for the simpler
+    # materialization contract.)
     combined = combined.localCheckpoint(eager=True) if truncate else combined.persist()
     new = combined.filter(F.col("_tag") == "n").select(*new_cols)
 
